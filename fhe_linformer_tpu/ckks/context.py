@@ -1,0 +1,257 @@
+"""CKKS context: parameter presets, modulus chains, and derived tables.
+
+TPU-native redesign of the role OpenFHE's CryptoContext plays for the
+reference (/root/reference/src/FHEController.cpp:3-90 sets ring 2^15,
+16384 slots, hybrid key switching with 4 digits, FLEXIBLEAUTO rescaling).
+Differences are deliberate hardware choices, not omissions:
+
+  * RNS limbs are u32 with primes < 2**30 (TPU VPU/MXU have no 64-bit int
+    path; see ops/modarith.py).  Depth is bought with more, smaller limbs.
+  * The ciphertext scale (2**scale_bits) rides FLEXIBLEAUTO-style: rescale
+    divides by the dropped prime and the exact running scale is tracked on
+    the host, never on device.
+  * Every level-dependent key-switch constant is precomputed here once, so
+    the jitted device code is pure elementwise/matmul work.
+
+Hybrid key switching uses a level-robust factorization: the key for digit j
+encrypts P * F_j * s' with F_j = (full chain)/(full group j), and the
+decomposition at ring level l multiplies limb t by
+  [F_j^{-1}]_{q_t} * [(Qhat_{j,l}/q_t)^{-1}]_{q_t}
+before fast-base-converting group j's limbs to the full active basis. Then
+sum_j D_j(c) * F_j === c (mod Q_l) for every l, with a single fixed key.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..primes import ntt_primes, scaling_primes
+from ..ops import modarith as ma
+from ..ops.ntt import NttContext
+
+
+@dataclass(frozen=True)
+class CKKSConfig:
+    """Scheme hyper-parameters (compare FHEController::generate_context,
+    /root/reference/src/FHEController.cpp:92-182 for the reference's knobs)."""
+    n: int = 1 << 15                  # ring dimension (2**15 in reference)
+    scale_bits: int = 26              # target scale Delta
+    num_scaling: int = 20             # scaling primes = usable mult depth
+    first_mod_bits: int = 30          # q0 headroom modulus (<= 30)
+    dnum: int = 4                     # hybrid KS digits (NumLargeDigits=4 ref)
+    secret_hw: int | None = None      # sparse ternary HW; None = uniform
+    sigma: float = 3.19               # error stddev
+    seed: int = 20260817              # deterministic keygen/test vectors
+
+    @property
+    def slots(self) -> int:
+        return self.n // 2
+
+
+def _prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
+@dataclass
+class DigitTables:
+    """Per (nlimbs, digit) decomposition tables."""
+    group: tuple[int, ...]            # active q-limb indices in this digit
+    fold: jnp.ndarray                 # (g, 1) u32 per-limb fold constant
+    fold_s: jnp.ndarray               # shoup of fold
+    conv: jnp.ndarray                 # (g, tgt, 1) u32 (Qhat/q_t) mod p
+    conv_s: jnp.ndarray               # shoup vs target primes
+
+
+@dataclass
+class LevelKS:
+    """Key-switch tables for one active q-limb count."""
+    digits: list[DigitTables]
+    tgt_idx: tuple[int, ...]          # basis indices: active q then specials
+    # mod-down (P -> Q):
+    pfold: jnp.ndarray                # (k, 1) u32
+    pfold_s: jnp.ndarray
+    pconv: jnp.ndarray                # (k, nl, 1) u32 (P/p_t) mod q_i
+    pconv_s: jnp.ndarray
+    pinv: jnp.ndarray                 # (nl, 1) u32  P^-1 mod q_i
+    pinv_s: jnp.ndarray
+
+
+class Context:
+    def __init__(self, cfg: CKKSConfig):
+        self.cfg = cfg
+        n = cfg.n
+        two_n = 2 * n
+        # --- modulus chain -------------------------------------------------
+        alpha = (cfg.num_scaling + 1 + cfg.dnum - 1) // cfg.dnum
+        big = ntt_primes(two_n, 1 + alpha, max_bits=cfg.first_mod_bits)
+        self.q0 = big[0]
+        self.ps = tuple(big[1:])                       # special primes
+        self.scaling = scaling_primes(two_n, cfg.num_scaling, cfg.scale_bits)
+        self.qs = (self.q0,) + self.scaling            # the Q chain
+        self.num_q = len(self.qs)
+        self.alpha = alpha
+        self.k_sp = len(self.ps)
+        self.basis = self.qs + self.ps                 # full limb order
+        assert len(set(self.basis)) == len(self.basis)
+        self.delta = float(1 << cfg.scale_bits)
+
+        # --- engines -------------------------------------------------------
+        self.ntt = NttContext(n, self.basis)
+        b = np.asarray(self.basis, np.int64)
+        mus, shifts = [], []
+        for q in self.basis:
+            _, mu, sh = ma.barrett_params(q)
+            mus.append(mu)
+            shifts.append(sh)
+        # (L, 1) broadcast constants for (..., L, N) flat arrays
+        self.q_flat = jnp.asarray(b.reshape(-1, 1).astype(np.uint32))
+        self.mu_flat = jnp.asarray(np.asarray(mus, np.int64).reshape(-1, 1).astype(np.uint32))
+        self.shift_flat = jnp.asarray(np.asarray(shifts, np.int64).reshape(-1, 1).astype(np.uint32))
+
+        self._ks: dict[int, LevelKS] = {}
+        self._rescale: dict[int, tuple] = {}
+        self._galois_perm: dict[int, jnp.ndarray] = {}
+        self._rot_group = self._build_rot_group()
+
+    # -- broadcast constant slices -----------------------------------------
+
+    def limb_idx(self, nl: int, specials: bool = False) -> tuple[int, ...]:
+        idx = list(range(nl))
+        if specials:
+            idx += list(range(self.num_q, self.num_q + self.k_sp))
+        return tuple(idx)
+
+    def mod_consts(self, idx: tuple[int, ...]):
+        ia = np.asarray(idx)
+        return (self.q_flat[ia], self.mu_flat[ia], self.shift_flat[ia])
+
+    # -- rotations ----------------------------------------------------------
+
+    def _build_rot_group(self) -> np.ndarray:
+        n = self.cfg.n
+        g = np.empty(self.cfg.slots, np.int64)
+        cur = 1
+        for t in range(self.cfg.slots):
+            g[t] = cur
+            cur = cur * 5 % (2 * n)
+        return g
+
+    def galois_t(self, rot: int) -> int:
+        """Automorphism exponent for a rotation by `rot` slots (conj = -0)."""
+        return int(pow(5, rot % self.cfg.slots, 2 * self.cfg.n))
+
+    def conj_t(self) -> int:
+        return 2 * self.cfg.n - 1
+
+    def galois_perm(self, t: int) -> jnp.ndarray:
+        """Eval-domain gather indices: new_eval[k] = old_eval[perm[k]]."""
+        if t not in self._galois_perm:
+            n = self.cfg.n
+            k = np.arange(n, dtype=np.int64)
+            e_new = (t * (2 * k + 1)) % (2 * n)
+            self._galois_perm[t] = jnp.asarray(((e_new - 1) // 2).astype(np.int32))
+        return self._galois_perm[t]
+
+    def auto_coeff(self, x: np.ndarray, t: int) -> np.ndarray:
+        """Coefficient-domain automorphism X -> X^t on int coeff vector."""
+        n = self.cfg.n
+        j = np.arange(n, dtype=np.int64)
+        jt = j * t % (2 * n)
+        out = np.zeros_like(np.asarray(x))
+        tgt = jt % n
+        sign = np.where(jt >= n, -1, 1)
+        out[tgt] = np.asarray(x) * sign
+        return out
+
+    # -- rescale tables ------------------------------------------------------
+
+    def rescale_tables(self, nl: int):
+        """Constants for dropping limb nl-1, mapping onto limbs [0, nl-1)."""
+        if nl not in self._rescale:
+            qd = self.qs[nl - 1]
+            rem = np.asarray(self.qs[: nl - 1], np.int64)
+            inv = np.asarray([pow(qd, int(q) - 2, int(q)) for q in rem], np.int64)
+            col = rem.reshape(-1, 1)
+            self._rescale[nl] = (
+                np.uint32(qd),
+                jnp.asarray(inv.reshape(-1, 1).astype(np.uint32)),
+                jnp.asarray(ma.shoup_precompute(inv.reshape(-1, 1), col)),
+                jnp.asarray(col.astype(np.uint32)),
+            )
+        return self._rescale[nl]
+
+    # -- hybrid key-switch tables -------------------------------------------
+
+    @functools.lru_cache(maxsize=None)
+    def _digit_groups_full(self) -> tuple[tuple[int, ...], ...]:
+        out = []
+        for j in range(self.cfg.dnum):
+            g = tuple(range(j * self.alpha, min((j + 1) * self.alpha, self.num_q)))
+            if g:
+                out.append(g)
+        return tuple(out)
+
+    def ks_tables(self, nl: int) -> LevelKS:
+        if nl in self._ks:
+            return self._ks[nl]
+        tgt_idx = self.limb_idx(nl, specials=True)
+        tgt_primes = [self.basis[i] for i in tgt_idx]
+        P = _prod(self.ps)
+        digits = []
+        for g_full in self._digit_groups_full():
+            g = tuple(i for i in g_full if i < nl)
+            if not g:
+                continue
+            # F_j excludes the *full* group's primes, includes all other q primes
+            F_j = _prod(q for i, q in enumerate(self.qs) if i not in g_full)
+            qhat = _prod(self.qs[i] for i in g)
+            folds, convs = [], []
+            for t in g:
+                qt = self.qs[t]
+                qhat_t = qhat // qt
+                fold = pow(F_j % qt, qt - 2, qt) * pow(qhat_t % qt, qt - 2, qt) % qt
+                folds.append(fold)
+                convs.append([qhat_t % p for p in tgt_primes])
+            folds = np.asarray(folds, np.int64).reshape(-1, 1)
+            gq = np.asarray([self.qs[t] for t in g], np.int64).reshape(-1, 1)
+            convs = np.asarray(convs, np.int64)[:, :, None]       # (g, tgt, 1)
+            tgt_col = np.asarray(tgt_primes, np.int64)[None, :, None]
+            digits.append(DigitTables(
+                group=g,
+                fold=jnp.asarray(folds.astype(np.uint32)),
+                fold_s=jnp.asarray(ma.shoup_precompute(folds, gq)),
+                conv=jnp.asarray(convs.astype(np.uint32)),
+                conv_s=jnp.asarray(ma.shoup_precompute(convs, tgt_col)),
+            ))
+        # mod-down tables: P -> active q basis
+        qs_act = np.asarray(self.qs[:nl], np.int64)
+        pfold, pconv = [], []
+        for t, pt in enumerate(self.ps):
+            p_hat_t = P // pt
+            pfold.append(pow(p_hat_t % pt, pt - 2, pt))
+            pconv.append([p_hat_t % q for q in qs_act])
+        pfold = np.asarray(pfold, np.int64).reshape(-1, 1)
+        pcol = np.asarray(self.ps, np.int64).reshape(-1, 1)
+        pconv = np.asarray(pconv, np.int64)[:, :, None]           # (k, nl, 1)
+        pinv = np.asarray([pow(P % int(q), int(q) - 2, int(q)) for q in qs_act],
+                          np.int64).reshape(-1, 1)
+        qcol = qs_act.reshape(-1, 1)
+        lk = LevelKS(
+            digits=digits, tgt_idx=tgt_idx,
+            pfold=jnp.asarray(pfold.astype(np.uint32)),
+            pfold_s=jnp.asarray(ma.shoup_precompute(pfold, pcol)),
+            pconv=jnp.asarray(pconv.astype(np.uint32)),
+            pconv_s=jnp.asarray(ma.shoup_precompute(pconv, qcol[None, :, :])),
+            pinv=jnp.asarray(pinv.astype(np.uint32)),
+            pinv_s=jnp.asarray(ma.shoup_precompute(pinv, qcol)),
+        )
+        self._ks[nl] = lk
+        return lk

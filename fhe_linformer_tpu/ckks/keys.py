@@ -1,0 +1,176 @@
+"""Key material and key generation.
+
+Covers the roles of FHEController::generate_context key paths
+(/root/reference/src/FHEController.cpp:47-57: KeyGen + EvalMultKeyGen) and
+generate_rotation_keys / generate_bootstrapping_and_rotation_keys
+(:242-273).  Hybrid key-switch keys follow the level-robust factorization
+documented in context.py: digit j encrypts P * F_j * s' over the full
+extended basis Q*P; one key serves every level.
+
+All sampling is host numpy (seeded, deterministic — the test-vector
+contract in SURVEY.md §4 depends on it); the polynomial arithmetic runs on
+device through the NTT engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modarith as ma
+from .context import Context
+
+
+@dataclass
+class SecretKey:
+    coeffs: np.ndarray           # (n,) int8 ternary, host
+    eval_full: jnp.ndarray       # (num_q + k_sp, N) u32 eval domain
+
+
+@dataclass
+class PublicKey:
+    p0: jnp.ndarray              # (num_q, N) u32 eval
+    p1: jnp.ndarray
+
+
+@dataclass
+class KSKey:
+    """One hybrid key-switch key (relin, one rotation, or conjugation)."""
+    b: jnp.ndarray               # (ndig, num_q + k_sp, N) u32 eval
+    a: jnp.ndarray
+
+
+def rns_residues(coeffs: np.ndarray, primes) -> np.ndarray:
+    """Centered int coeffs (..., n) -> (..., L, n) u32 residues."""
+    c = np.asarray(coeffs, np.int64)[..., None, :]
+    qs = np.asarray(primes, np.int64)[:, None]
+    return (c % qs).astype(np.uint32)
+
+
+class KeyGenerator:
+    def __init__(self, ctx: Context):
+        self.ctx = ctx
+        self.rng = np.random.default_rng(ctx.cfg.seed)
+
+    # -- samplers ----------------------------------------------------------
+
+    def ternary(self) -> np.ndarray:
+        cfg = self.ctx.cfg
+        if cfg.secret_hw is None:
+            return self.rng.integers(-1, 2, cfg.n).astype(np.int64)
+        s = np.zeros(cfg.n, np.int64)
+        idx = self.rng.choice(cfg.n, cfg.secret_hw, replace=False)
+        s[idx] = self.rng.choice([-1, 1], cfg.secret_hw)
+        return s
+
+    def gauss(self, shape=None) -> np.ndarray:
+        n = self.ctx.cfg.n
+        return np.rint(self.rng.normal(0.0, self.ctx.cfg.sigma,
+                                       shape if shape is not None else (n,))
+                       ).astype(np.int64)
+
+    def uniform_eval(self, limbs: tuple[int, ...], extra_shape=()) -> jnp.ndarray:
+        """Uniform ring element directly in the eval domain (CRT-uniform)."""
+        qs = [self.ctx.basis[i] for i in limbs]
+        out = np.empty((*extra_shape, len(qs), self.ctx.cfg.n), np.uint32)
+        for i, q in enumerate(qs):
+            out[..., i, :] = self.rng.integers(0, q, (*extra_shape, self.ctx.cfg.n),
+                                               dtype=np.uint32)
+        return jnp.asarray(out)
+
+    def to_eval(self, coeffs: np.ndarray, limbs: tuple[int, ...]) -> jnp.ndarray:
+        qs = [self.ctx.basis[i] for i in limbs]
+        res = rns_residues(coeffs, qs)
+        return self.ctx.ntt.fwd(jnp.asarray(res), limbs)
+
+    # -- key generation ----------------------------------------------------
+
+    def secret_key(self) -> SecretKey:
+        s = self.ternary()
+        full = self.ctx.limb_idx(self.ctx.num_q, specials=True)
+        return SecretKey(s.astype(np.int8), self.to_eval(s, full))
+
+    def public_key(self, sk: SecretKey) -> PublicKey:
+        ctx = self.ctx
+        limbs = ctx.limb_idx(ctx.num_q)
+        q, mu, sh = ctx.mod_consts(limbs)
+        a = self.uniform_eval(limbs)
+        e = self.to_eval(self.gauss(), limbs)
+        s = sk.eval_full[: ctx.num_q]
+        p0 = ma.submod(e, ma.barrett_mulmod(a, s, q, mu, sh), q)
+        return PublicKey(p0, a)
+
+    def _ks_key(self, sk: SecretKey, s_prime_eval: jnp.ndarray) -> KSKey:
+        """KSK digits encrypting P*F_j*s' under s, over the full basis."""
+        ctx = self.ctx
+        full = ctx.limb_idx(ctx.num_q, specials=True)
+        q, mu, sh = ctx.mod_consts(full)
+        P = 1
+        for p in ctx.ps:
+            P *= p
+        groups = ctx._digit_groups_full()
+        bs, as_ = [], []
+        s = sk.eval_full
+        for g_full in groups:
+            F_j = 1
+            for i, qq in enumerate(ctx.qs):
+                if i not in g_full:
+                    F_j *= qq
+            factor = np.asarray([(P * F_j) % ctx.basis[i] for i in full],
+                                np.int64).reshape(-1, 1)
+            a_j = self.uniform_eval(full)
+            e_j = self.to_eval(self.gauss(), full)
+            fac = jnp.asarray(factor.astype(np.uint32))
+            fac_s = jnp.asarray(ma.shoup_precompute(
+                factor, np.asarray([ctx.basis[i] for i in full],
+                                   np.int64).reshape(-1, 1)))
+            b_j = ma.addmod(
+                ma.submod(e_j, ma.barrett_mulmod(a_j, s, q, mu, sh), q),
+                ma.shoup_mulmod(s_prime_eval, fac, fac_s, q), q)
+            bs.append(b_j)
+            as_.append(a_j)
+        return KSKey(jnp.stack(bs), jnp.stack(as_))
+
+    def relin_key(self, sk: SecretKey) -> KSKey:
+        ctx = self.ctx
+        full = ctx.limb_idx(ctx.num_q, specials=True)
+        q, mu, sh = ctx.mod_consts(full)
+        s2 = ma.barrett_mulmod(sk.eval_full, sk.eval_full, q, mu, sh)
+        return self._ks_key(sk, s2)
+
+    def rotation_key(self, sk: SecretKey, rot: int) -> KSKey:
+        """Key switching tau_t(s) -> s for rotation by `rot` slots."""
+        t = self.ctx.galois_t(rot)
+        return self._galois_key(sk, t)
+
+    def conjugation_key(self, sk: SecretKey) -> KSKey:
+        return self._galois_key(sk, self.ctx.conj_t())
+
+    def _galois_key(self, sk: SecretKey, t: int) -> KSKey:
+        perm = self.ctx.galois_perm(t)
+        s_rot = jnp.take(sk.eval_full, perm, axis=-1)
+        return self._ks_key(sk, s_rot)
+
+
+@dataclass
+class KeySet:
+    """Everything the evaluator needs; rotation keys keyed by slot shift."""
+    sk: SecretKey | None         # retained for debug decrypt probes, like the
+    pk: PublicKey                # reference server does (FHEController.cpp:203-210)
+    relin: KSKey
+    rot: dict[int, KSKey]
+    conj: KSKey | None = None
+
+
+def generate_keys(ctx: Context, rotations: tuple[int, ...] = (),
+                  conj: bool = False, keep_secret: bool = True) -> KeySet:
+    kg = KeyGenerator(ctx)
+    sk = kg.secret_key()
+    pk = kg.public_key(sk)
+    relin = kg.relin_key(sk)
+    rot = {r: kg.rotation_key(sk, r) for r in rotations}
+    ck = kg.conjugation_key(sk) if conj else None
+    return KeySet(sk if keep_secret else None, pk, relin, rot, ck)
