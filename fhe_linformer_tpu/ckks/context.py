@@ -30,9 +30,11 @@ from dataclasses import dataclass, field
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from ..primes import ntt_primes, scaling_primes
 from ..ops import modarith as ma
-from ..ops.ntt import NttContext
+from ..ops.ntt import NttContext, LimbTables
 
 
 @dataclass(frozen=True)
@@ -60,7 +62,11 @@ def _prod(xs) -> int:
     return out
 
 
-@dataclass
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    meta_fields=("group",),
+    data_fields=("fold", "fold_s", "conv", "conv_s", "gq"))
+@dataclass(frozen=True)
 class DigitTables:
     """Per (nlimbs, digit) decomposition tables."""
     group: tuple[int, ...]            # active q-limb indices in this digit
@@ -68,13 +74,24 @@ class DigitTables:
     fold_s: jnp.ndarray               # shoup of fold
     conv: jnp.ndarray                 # (g, tgt, 1) u32 (Qhat/q_t) mod p
     conv_s: jnp.ndarray               # shoup vs target primes
+    gq: jnp.ndarray                   # (g, 1) u32 group primes
 
 
-@dataclass
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    meta_fields=("nl", "tgt_idx"),
+    data_fields=("digits", "pfold", "pfold_s", "pconv", "pconv_s",
+                 "pinv", "pinv_s", "q_act", "mu_act", "sh_act",
+                 "q_tgt", "mu_tgt", "sh_tgt", "q_sp",
+                 "t_act", "t_tgt", "t_sp"))
+@dataclass(frozen=True)
 class LevelKS:
-    """Key-switch tables for one active q-limb count."""
-    digits: list[DigitTables]
+    """Key-switch tables for one active q-limb count (a jit-able pytree:
+    every array the keyswitch kernel needs rides in as an argument, so the
+    compiled executables stay free of embedded table constants)."""
+    nl: int
     tgt_idx: tuple[int, ...]          # basis indices: active q then specials
+    digits: tuple[DigitTables, ...]
     # mod-down (P -> Q):
     pfold: jnp.ndarray                # (k, 1) u32
     pfold_s: jnp.ndarray
@@ -82,6 +99,30 @@ class LevelKS:
     pconv_s: jnp.ndarray
     pinv: jnp.ndarray                 # (nl, 1) u32  P^-1 mod q_i
     pinv_s: jnp.ndarray
+    q_act: jnp.ndarray                # (nl, 1) u32 active primes
+    mu_act: jnp.ndarray
+    sh_act: jnp.ndarray
+    q_tgt: jnp.ndarray                # (nl + k, 1)
+    mu_tgt: jnp.ndarray
+    sh_tgt: jnp.ndarray
+    q_sp: jnp.ndarray                 # (k, 1)
+    t_act: LimbTables                 # NTT tables: active q limbs
+    t_tgt: LimbTables                 # active q + specials
+    t_sp: LimbTables                  # specials only
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass, meta_fields=(),
+    data_fields=("qd", "half", "inv", "inv_s", "qrem", "t_last", "t_rem"))
+@dataclass(frozen=True)
+class RescalePlan:
+    qd: jnp.ndarray          # (1,1) u32 dropped prime
+    half: jnp.ndarray        # (1,1) u32 qd//2
+    inv: jnp.ndarray         # (nl-1,1) qd^-1 mod q_i
+    inv_s: jnp.ndarray
+    qrem: jnp.ndarray        # (nl-1,1) remaining primes
+    t_last: LimbTables
+    t_rem: LimbTables
 
 
 class Context:
@@ -173,18 +214,22 @@ class Context:
 
     # -- rescale tables ------------------------------------------------------
 
-    def rescale_tables(self, nl: int):
+    def rescale_tables(self, nl: int) -> "RescalePlan":
         """Constants for dropping limb nl-1, mapping onto limbs [0, nl-1)."""
         if nl not in self._rescale:
             qd = self.qs[nl - 1]
             rem = np.asarray(self.qs[: nl - 1], np.int64)
+            assert int(qd) < 2 * int(rem.min()), "rescale centering bound"
             inv = np.asarray([pow(qd, int(q) - 2, int(q)) for q in rem], np.int64)
             col = rem.reshape(-1, 1)
-            self._rescale[nl] = (
-                np.uint32(qd),
-                jnp.asarray(inv.reshape(-1, 1).astype(np.uint32)),
-                jnp.asarray(ma.shoup_precompute(inv.reshape(-1, 1), col)),
-                jnp.asarray(col.astype(np.uint32)),
+            one = lambda v: jnp.asarray(np.full((1, 1), v, np.uint32))
+            self._rescale[nl] = RescalePlan(
+                qd=one(qd), half=one(qd // 2),
+                inv=jnp.asarray(inv.reshape(-1, 1).astype(np.uint32)),
+                inv_s=jnp.asarray(ma.shoup_precompute(inv.reshape(-1, 1), col)),
+                qrem=jnp.asarray(col.astype(np.uint32)),
+                t_last=self.ntt.tables((nl - 1,)),
+                t_rem=self.ntt.tables(self.limb_idx(nl - 1)),
             )
         return self._rescale[nl]
 
@@ -230,6 +275,7 @@ class Context:
                 fold_s=jnp.asarray(ma.shoup_precompute(folds, gq)),
                 conv=jnp.asarray(convs.astype(np.uint32)),
                 conv_s=jnp.asarray(ma.shoup_precompute(convs, tgt_col)),
+                gq=jnp.asarray(gq.astype(np.uint32)),
             ))
         # mod-down tables: P -> active q basis
         qs_act = np.asarray(self.qs[:nl], np.int64)
@@ -237,21 +283,31 @@ class Context:
         for t, pt in enumerate(self.ps):
             p_hat_t = P // pt
             pfold.append(pow(p_hat_t % pt, pt - 2, pt))
-            pconv.append([p_hat_t % q for q in qs_act])
+            pconv.append([p_hat_t % int(q) for q in qs_act])
         pfold = np.asarray(pfold, np.int64).reshape(-1, 1)
         pcol = np.asarray(self.ps, np.int64).reshape(-1, 1)
         pconv = np.asarray(pconv, np.int64)[:, :, None]           # (k, nl, 1)
         pinv = np.asarray([pow(P % int(q), int(q) - 2, int(q)) for q in qs_act],
                           np.int64).reshape(-1, 1)
         qcol = qs_act.reshape(-1, 1)
+        act_idx = self.limb_idx(nl)
+        sp_idx = tuple(range(self.num_q, self.num_q + self.k_sp))
+        qa, mua, sha = self.mod_consts(act_idx)
+        qtg, mutg, shtg = self.mod_consts(tgt_idx)
         lk = LevelKS(
-            digits=digits, tgt_idx=tgt_idx,
+            nl=nl, tgt_idx=tgt_idx, digits=tuple(digits),
             pfold=jnp.asarray(pfold.astype(np.uint32)),
             pfold_s=jnp.asarray(ma.shoup_precompute(pfold, pcol)),
             pconv=jnp.asarray(pconv.astype(np.uint32)),
             pconv_s=jnp.asarray(ma.shoup_precompute(pconv, qcol[None, :, :])),
             pinv=jnp.asarray(pinv.astype(np.uint32)),
             pinv_s=jnp.asarray(ma.shoup_precompute(pinv, qcol)),
+            q_act=qa, mu_act=mua, sh_act=sha,
+            q_tgt=qtg, mu_tgt=mutg, sh_tgt=shtg,
+            q_sp=jnp.asarray(pcol.astype(np.uint32)),
+            t_act=self.ntt.tables(act_idx),
+            t_tgt=self.ntt.tables(tgt_idx),
+            t_sp=self.ntt.tables(sp_idx),
         )
         self._ks[nl] = lk
         return lk

@@ -1,0 +1,424 @@
+"""Homomorphic evaluation: the TPU-native core of the scheme.
+
+Covers what the reference calls through OpenFHE at
+/root/reference/src/FHEController.cpp:348-469 (encode/encrypt/decrypt,
+add/mult/rotate, rescale) — but with level/scale bookkeeping automated
+(the reference threads GetLevel() by hand, see SURVEY.md §2.1 notes) and
+with every op batched over arbitrary leading ciphertext dims.
+
+Device work is organized as a handful of jitted composites keyed on array
+shapes only; running scale lives on the host wrapper and never triggers a
+retrace.  Eval-domain representation throughout; NTT boundaries appear
+only inside rescale and key switching, exactly where the math needs them.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import modarith as ma
+from .context import Context, LevelKS
+from .ciphertext import Ciphertext, Plaintext
+from .encoding import Encoder
+from .keys import KeySet, KSKey, SecretKey, PublicKey, KeyGenerator, rns_residues
+
+
+def _prod(xs):
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
+class Evaluator:
+    def __init__(self, ctx: Context, keys: KeySet):
+        self.ctx = ctx
+        self.keys = keys
+        self.encoder = Encoder(ctx.cfg.n)
+        self._enc_rng = np.random.default_rng(ctx.cfg.seed ^ 0x5EED)
+
+    # ------------------------------------------------------------------
+    # encode / encrypt / decrypt / decode
+    # ------------------------------------------------------------------
+
+    def encode(self, values, nl: int | None = None, scale: float | None = None,
+               batch: bool = False) -> Plaintext:
+        """Slot values -> eval-domain plaintext at (nl, scale)."""
+        ctx = self.ctx
+        nl = ctx.num_q if nl is None else nl
+        scale = ctx.delta if scale is None else scale
+        vals = np.atleast_2d(np.asarray(values)) if batch else \
+            np.asarray(values)[None]
+        coeffs = np.stack([self.encoder.encode(v, scale) for v in vals])
+        limbs = ctx.limb_idx(nl)
+        qs = [ctx.basis[i] for i in limbs]
+        res = rns_residues(coeffs, qs)
+        data = ctx.ntt.fwd(jnp.asarray(res), limbs)
+        data_np = np.asarray(data).astype(np.int64)
+        qcol = np.asarray(qs, np.int64)[:, None]
+        shoup = jnp.asarray(ma.shoup_precompute(data_np, qcol))
+        if not batch:
+            data, shoup = data[0], shoup[0]
+        return Plaintext(data, shoup, nl, scale)
+
+    def encode_const(self, c: float, nl: int | None = None,
+                     scale: float | None = None) -> Plaintext:
+        """Constant-in-all-slots plaintext as a (nl, 1) broadcast — a
+        constant polynomial is constant in the eval domain, no NTT needed."""
+        ctx = self.ctx
+        nl = ctx.num_q if nl is None else nl
+        scale = ctx.delta if scale is None else scale
+        v = int(round(c * scale))
+        assert abs(v) < 1 << 62
+        qs = np.asarray([ctx.basis[i] for i in ctx.limb_idx(nl)], np.int64)
+        res = (np.int64(v) % qs).reshape(-1, 1)
+        data = jnp.asarray(res.astype(np.uint32))
+        shoup = jnp.asarray(ma.shoup_precompute(res, qs.reshape(-1, 1)))
+        return Plaintext(data, shoup, nl, scale)
+
+    def adjust(self, ct: Ciphertext, nl: int, scale: float) -> Ciphertext:
+        """Bring ct to exactly (nl, scale) — spends one level on a
+        unit-constant multiply unless already matching (FLEXIBLEAUTO's
+        level/scale adjustment, automated)."""
+        if ct.nl == nl and abs(ct.scale / scale - 1.0) < 1e-9:
+            return ct
+        assert ct.nl > nl, f"cannot raise level {ct.nl} -> {nl}"
+        ct = self.drop_to(ct, nl + 1)
+        if abs(ct.scale / scale - 1.0) < 1e-9:
+            return self.drop_to(ct, nl)
+        qd = float(self.ctx.qs[nl])
+        pt = self.encode_const(1.0, nl + 1, scale * qd / ct.scale)
+        out = self.mul_plain(ct, pt, rescale=True)
+        out.scale = scale  # exact by construction; avoid float drift
+        return out
+
+    def encrypt(self, values=None, pt: Plaintext | None = None,
+                nl: int | None = None, scale: float | None = None,
+                batch: bool = False) -> Ciphertext:
+        """Public-key encryption (FHEController::encrypt, cpp:374-391)."""
+        ctx = self.ctx
+        if pt is None:
+            pt = self.encode(values, nl, scale, batch)
+        nl = pt.nl
+        limbs = ctx.limb_idx(nl)
+        consts = ctx.mod_consts(limbs)
+        n = ctx.cfg.n
+        bshape = pt.data.shape[:-2]
+        kg = KeyGenerator(ctx)
+        kg.rng = self._enc_rng
+        v = kg.rng.integers(-1, 2, (*bshape, n)).astype(np.int64)
+        e0 = kg.gauss((*bshape, n))
+        e1 = kg.gauss((*bshape, n))
+        qs = [ctx.basis[i] for i in limbs]
+        v_e = ctx.ntt.fwd(jnp.asarray(rns_residues(v, qs)), limbs)
+        e0_e = ctx.ntt.fwd(jnp.asarray(rns_residues(e0, qs)), limbs)
+        e1_e = ctx.ntt.fwd(jnp.asarray(rns_residues(e1, qs)), limbs)
+        p0 = self.keys.pk.p0[:nl]
+        p1 = self.keys.pk.p1[:nl]
+        c0, c1 = _encrypt_core(p0, p1, v_e, e0_e, e1_e, pt.data, *consts)
+        return Ciphertext(c0, c1, nl, pt.scale)
+
+    def decrypt(self, ct: Ciphertext, crt_limbs: int = 3) -> np.ndarray:
+        """Decrypt + decode to complex slot values (batched)."""
+        ctx = self.ctx
+        sk = self.keys.sk
+        assert sk is not None, "secret key not retained"
+        limbs = ctx.limb_idx(ct.nl)
+        consts = ctx.mod_consts(limbs)
+        s = sk.eval_full[: ct.nl]
+        m_eval = _decrypt_core(ct.c0, ct.c1, s, *consts)
+        coeffs = np.asarray(ctx.ntt.inv(m_eval, limbs))
+        ints = self._crt_lift(coeffs, ct.nl, min(crt_limbs, ct.nl))
+        flat = ints.reshape(-1, ctx.cfg.n)
+        out = np.stack([self.encoder.decode(c, ct.scale) for c in flat])
+        return out.reshape(*ct.batch_shape, ctx.cfg.slots)
+
+    def _crt_lift(self, res: np.ndarray, nl: int, m: int) -> np.ndarray:
+        """Centered CRT reconstruction from the first m limbs (exact while
+        the true magnitude < prod(first m primes)/2)."""
+        qs = [int(q) for q in self.ctx.qs[:m]]
+        Q = _prod(qs)
+        acc = np.zeros(res.shape[:-2] + res.shape[-1:], dtype=object)
+        for i, q in enumerate(qs):
+            Qi = Q // q
+            w = Qi * pow(Qi % q, q - 2, q)
+            acc = (acc + res[..., i, :].astype(object) * w) % Q
+        return np.where(acc > Q // 2, acc - Q, acc)
+
+    # ------------------------------------------------------------------
+    # arithmetic
+    # ------------------------------------------------------------------
+
+    def _align(self, a: Ciphertext, b: Ciphertext):
+        nl = min(a.nl, b.nl)
+        a = self.drop_to(a, nl)
+        b = self.drop_to(b, nl)
+        assert abs(a.scale / b.scale - 1.0) < 1e-9, \
+            f"scale mismatch {a.scale} vs {b.scale}: adjust first"
+        return a, b
+
+    def drop_to(self, ct: Ciphertext, nl: int) -> Ciphertext:
+        """Modulus reduction by dropping limbs (free: slicing)."""
+        if ct.nl == nl:
+            return ct
+        assert nl < ct.nl
+        return ct.with_data(ct.c0[..., :nl, :], ct.c1[..., :nl, :], nl=nl)
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        a, b = self._align(a, b)
+        consts = self.ctx.mod_consts(self.ctx.limb_idx(a.nl))
+        c0, c1 = _add_core(a.c0, a.c1, b.c0, b.c1, consts[0])
+        return a.with_data(c0, c1)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        a, b = self._align(a, b)
+        consts = self.ctx.mod_consts(self.ctx.limb_idx(a.nl))
+        c0, c1 = _sub_core(a.c0, a.c1, b.c0, b.c1, consts[0])
+        return a.with_data(c0, c1)
+
+    def add_many(self, cts: list[Ciphertext]) -> Ciphertext:
+        out = cts[0]
+        for ct in cts[1:]:
+            out = self.add(out, ct)
+        return out
+
+    def neg(self, ct: Ciphertext) -> Ciphertext:
+        q = self.ctx.mod_consts(self.ctx.limb_idx(ct.nl))[0]
+        return ct.with_data(ma.negmod(ct.c0, q), ma.negmod(ct.c1, q))
+
+    def add_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+        pt = self._pt_to(pt, ct.nl)
+        assert abs(ct.scale / pt.scale - 1.0) < 1e-9
+        q = self.ctx.mod_consts(self.ctx.limb_idx(ct.nl))[0]
+        return ct.with_data(ma.addmod(ct.c0, pt.data, q), ct.c1)
+
+    def sub_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+        pt = self._pt_to(pt, ct.nl)
+        assert abs(ct.scale / pt.scale - 1.0) < 1e-9
+        q = self.ctx.mod_consts(self.ctx.limb_idx(ct.nl))[0]
+        return ct.with_data(ma.submod(ct.c0, pt.data, q), ct.c1)
+
+    def _pt_to(self, pt: Plaintext, nl: int) -> Plaintext:
+        if pt.nl == nl:
+            return pt
+        assert nl < pt.nl
+        return Plaintext(pt.data[..., :nl, :], pt.shoup[..., :nl, :], nl, pt.scale)
+
+    def mul_plain(self, ct: Ciphertext, pt: Plaintext,
+                  rescale: bool = True) -> Ciphertext:
+        pt = self._pt_to(pt, ct.nl)
+        q = self.ctx.mod_consts(self.ctx.limb_idx(ct.nl))[0]
+        c0 = ma.shoup_mulmod(ct.c0, pt.data, pt.shoup, q)
+        c1 = ma.shoup_mulmod(ct.c1, pt.data, pt.shoup, q)
+        out = ct.with_data(c0, c1, scale=ct.scale * pt.scale)
+        return self.rescale(out) if rescale else out
+
+    def mul_scalar_int(self, ct: Ciphertext, k: int) -> Ciphertext:
+        """Multiply by a small integer (no scale change in message terms:
+        scale unchanged, message *= k)."""
+        limbs = self.ctx.limb_idx(ct.nl)
+        q, mu, sh = self.ctx.mod_consts(limbs)
+        kv = np.asarray([k % self.ctx.basis[i] for i in limbs],
+                        np.int64).reshape(-1, 1)
+        kj = jnp.asarray(kv.astype(np.uint32))
+        ks = jnp.asarray(ma.shoup_precompute(
+            kv, np.asarray([self.ctx.basis[i] for i in limbs],
+                           np.int64).reshape(-1, 1)))
+        return ct.with_data(ma.shoup_mulmod(ct.c0, kj, ks, q),
+                            ma.shoup_mulmod(ct.c1, kj, ks, q))
+
+    def mul_scalar(self, ct: Ciphertext, x: float,
+                   rescale: bool = True) -> Ciphertext:
+        """Multiply by a real scalar via an integer at the working scale."""
+        nl = ct.nl
+        qd = self.ctx.qs[nl - 1]
+        k = int(round(x * qd))
+        out = self.mul_scalar_int(ct, k)
+        out.scale = ct.scale * qd
+        return self.rescale(out) if rescale else out
+
+    def rescale(self, ct: Ciphertext) -> Ciphertext:
+        """Drop the top limb; scale /= q_dropped (FLEXIBLEAUTO tracking)."""
+        ctx = self.ctx
+        nl = ct.nl
+        assert nl >= 2, "no scaling limb left to drop"
+        plan = ctx.rescale_tables(nl)
+        c0, c1 = _rescale_core(ct.c0, ct.c1, plan)
+        return ct.with_data(c0, c1, nl=nl - 1,
+                            scale=ct.scale / float(ctx.qs[nl - 1]))
+
+    def _sliced_key(self, key: KSKey, nl: int):
+        cache = getattr(key, "_slices", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(key, "_slices", cache)
+        if nl not in cache:
+            idx = np.asarray(self.ctx.limb_idx(nl, specials=True))
+            cache[nl] = (key.b[:, idx, :], key.a[:, idx, :])
+        return cache[nl]
+
+    def mul(self, a: Ciphertext, b: Ciphertext, rescale: bool = True) -> Ciphertext:
+        """ct*ct with relinearization (EvalMult + EvalMultKeyGen path)."""
+        a, b = self._align_mult(a, b)
+        nl = a.nl
+        ks = self.ctx.ks_tables(nl)
+        kb, ka = self._sliced_key(self.keys.relin, nl)
+        c0, c1 = _mul_relin_core(a.c0, a.c1, b.c0, b.c1, kb, ka, ks)
+        out = Ciphertext(c0, c1, nl, a.scale * b.scale)
+        return self.rescale(out) if rescale else out
+
+    def square(self, a: Ciphertext, rescale: bool = True) -> Ciphertext:
+        return self.mul(a, a, rescale)
+
+    def _align_mult(self, a: Ciphertext, b: Ciphertext):
+        nl = min(a.nl, b.nl)
+        return self.drop_to(a, nl), self.drop_to(b, nl)
+
+    # ------------------------------------------------------------------
+    # rotations / conjugation
+    # ------------------------------------------------------------------
+
+    def rotate(self, ct: Ciphertext, r: int) -> Ciphertext:
+        """Cyclic slot rotation: out slot j = in slot (j + r) mod slots.
+        Matches EvalRotate sign (FHEController::rotate, cpp:434-436)."""
+        if r % self.ctx.cfg.slots == 0:
+            return ct
+        key = self.keys.rot.get(r % self.ctx.cfg.slots) or \
+            self.keys.rot.get(r % self.ctx.cfg.slots - self.ctx.cfg.slots)
+        assert key is not None, f"no rotation key for shift {r}"
+        t = self.ctx.galois_t(r)
+        return self._galois(ct, t, key)
+
+    def conjugate(self, ct: Ciphertext) -> Ciphertext:
+        assert self.keys.conj is not None
+        return self._galois(ct, self.ctx.conj_t(), self.keys.conj)
+
+    def _galois(self, ct: Ciphertext, t: int, key: KSKey) -> Ciphertext:
+        ctx = self.ctx
+        nl = ct.nl
+        perm = ctx.galois_perm(t)
+        ks = ctx.ks_tables(nl)
+        kb, ka = self._sliced_key(key, nl)
+        c0, c1 = _galois_core(ct.c0, ct.c1, perm, kb, ka, ks)
+        return ct.with_data(c0, c1)
+
+    # ------------------------------------------------------------------
+    # debug probes (reference: FHEController print/print_min_max,
+    # cpp:700-826 — decrypting diagnostics, server holds sk)
+    # ------------------------------------------------------------------
+
+    def probe(self, ct: Ciphertext, count: int = 8) -> np.ndarray:
+        return np.real(self.decrypt(ct))[..., :count]
+
+
+# ----------------------------------------------------------------------
+# jitted device composites — all tables arrive as pytree args, so the
+# compiled executables contain no embedded table constants.
+# ----------------------------------------------------------------------
+
+from ..ops.ntt import _fwd as _ntt_fwd, _inv as _ntt_inv  # noqa: E402
+
+
+@jax.jit
+def _encrypt_core(p0, p1, v, e0, e1, m, q, mu, sh):
+    c0 = ma.addmod(ma.addmod(ma.barrett_mulmod(p0, v, q, mu, sh), e0, q), m, q)
+    c1 = ma.addmod(ma.barrett_mulmod(p1, v, q, mu, sh), e1, q)
+    return c0, c1
+
+
+@jax.jit
+def _decrypt_core(c0, c1, s, q, mu, sh):
+    return ma.addmod(c0, ma.barrett_mulmod(c1, s, q, mu, sh), q)
+
+
+@jax.jit
+def _add_core(a0, a1, b0, b1, q):
+    return ma.addmod(a0, b0, q), ma.addmod(a1, b1, q)
+
+
+@jax.jit
+def _sub_core(a0, a1, b0, b1, q):
+    return ma.submod(a0, b0, q), ma.submod(a1, b1, q)
+
+
+@jax.jit
+def _rescale_core(c0, c1, plan):
+    outs = []
+    nl = c0.shape[-2]
+    for c in (c0, c1):
+        body = c[..., : nl - 1, :]
+        last = c[..., nl - 1:, :]
+        v = _ntt_inv(last, plan.t_last)             # coeffs of dropped limb
+        lift = jnp.where(v <= plan.half, v, plan.qrem - (plan.qd - v))
+        lift_e = _ntt_fwd(lift, plan.t_rem)
+        diff = ma.submod(body, lift_e, plan.qrem)
+        outs.append(ma.shoup_mulmod(diff, plan.inv, plan.inv_s, plan.qrem))
+    return tuple(outs)
+
+
+def _ks_inner(cx_coeff, ksk_b, ksk_a, ks):
+    """Hybrid key-switch core on coefficient-domain input limbs (..., nl, N).
+    ksk_b/ksk_a: (ndig, nl + k_sp, N) already sliced to the target basis.
+    Returns (k0, k1) eval-domain over the active q basis (after P mod-down)."""
+    acc0 = acc1 = None
+    for j, dg in enumerate(ks.digits):
+        g = dg.group
+        lo = g[0]
+        w = ma.shoup_mulmod(cx_coeff[..., lo: lo + len(g), :],
+                            dg.fold, dg.fold_s, dg.gq)
+        # fast base conversion: y[p] = sum_t w[t] * (Qhat/q_t mod p)
+        y = None
+        for ti in range(len(g)):
+            term = ma.shoup_mulmod(w[..., ti: ti + 1, :],
+                                   dg.conv[ti], dg.conv_s[ti], ks.q_tgt)
+            y = term if y is None else ma.addmod(y, term, ks.q_tgt)
+        y_e = _ntt_fwd(y, ks.t_tgt)
+        t0 = ma.barrett_mulmod(y_e, ksk_b[j], ks.q_tgt, ks.mu_tgt, ks.sh_tgt)
+        t1 = ma.barrett_mulmod(y_e, ksk_a[j], ks.q_tgt, ks.mu_tgt, ks.sh_tgt)
+        acc0 = t0 if acc0 is None else ma.addmod(acc0, t0, ks.q_tgt)
+        acc1 = t1 if acc1 is None else ma.addmod(acc1, t1, ks.q_tgt)
+    return _mod_down(acc0, ks), _mod_down(acc1, ks)
+
+
+def _mod_down(x, ks):
+    """(..., nl + k_sp, N) over Q*P -> (..., nl, N) over Q: divide by P."""
+    nl = ks.nl
+    xq = x[..., :nl, :]
+    xp = x[..., nl:, :]
+    vp = _ntt_inv(xp, ks.t_sp)
+    w = ma.shoup_mulmod(vp, ks.pfold, ks.pfold_s, ks.q_sp)
+    y = None
+    for ti in range(w.shape[-2]):
+        term = ma.shoup_mulmod(w[..., ti: ti + 1, :], ks.pconv[ti],
+                               ks.pconv_s[ti], ks.q_act)
+        y = term if y is None else ma.addmod(y, term, ks.q_act)
+    y_e = _ntt_fwd(y, ks.t_act)
+    diff = ma.submod(xq, y_e, ks.q_act)
+    return ma.shoup_mulmod(diff, ks.pinv, ks.pinv_s, ks.q_act)
+
+
+@jax.jit
+def _mul_relin_core(a0, a1, b0, b1, kb, ka, ks):
+    q, mu, sh = ks.q_act, ks.mu_act, ks.sh_act
+    d0 = ma.barrett_mulmod(a0, b0, q, mu, sh)
+    d1 = ma.addmod(ma.barrett_mulmod(a0, b1, q, mu, sh),
+                   ma.barrett_mulmod(a1, b0, q, mu, sh), q)
+    d2 = ma.barrett_mulmod(a1, b1, q, mu, sh)
+    d2_coeff = _ntt_inv(d2, ks.t_act)
+    k0, k1 = _ks_inner(d2_coeff, kb, ka, ks)
+    return ma.addmod(d0, k0, q), ma.addmod(d1, k1, q)
+
+
+@jax.jit
+def _galois_core(c0, c1, perm, kb, ka, ks):
+    q = ks.q_act
+    r0 = jnp.take(c0, perm, axis=-1)
+    r1 = jnp.take(c1, perm, axis=-1)
+    r1_coeff = _ntt_inv(r1, ks.t_act)
+    k0, k1 = _ks_inner(r1_coeff, kb, ka, ks)
+    return ma.addmod(r0, k0, q), k1

@@ -1,0 +1,228 @@
+"""Packed homomorphic linear algebra over CKKS slots.
+
+Re-implements the reference's packing calculus — expanded / repeated
+layouts, rotate-accumulate trees, the RE/CR matmul families, masks, and
+wrap/unwrap (/root/reference/src/FHEController.cpp:829-1357) — with two
+TPU-native differences:
+
+  * every op accepts ciphertexts with leading batch dims, so "loop over
+    all S tokens" in the reference (e.g. main_2.cpp:182) becomes one fused
+    batched TPU op here;
+  * rotation keys are pure powers of two chosen deliberately (the reference
+    ships a buggy ad-hoc set, see SURVEY.md §2.1 rotation-key note).
+
+Layout conventions over `slots = nb * d` (reference: 16384 = 128 * 128):
+  expanded:  slot[d*j + i] = v[j]   (value j fills block j)
+  repeated:  slot[d*j + i] = v[i]   (d-vector tiled nb times)
+
+A BSGS diagonal ct x pt-matrix multiply (matmul_bsgs) is provided as the
+high-throughput alternative for matrix-packed ciphertexts.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..ckks.ciphertext import Ciphertext, Plaintext
+from ..ckks.evaluator import Evaluator
+
+
+def _log2(x: int) -> int:
+    l = x.bit_length() - 1
+    assert 1 << l == x, f"{x} not a power of two"
+    return l
+
+
+class PackedOps:
+    def __init__(self, ev: Evaluator, d: int = 128):
+        self.ev = ev
+        self.d = d
+        self.slots = ev.ctx.cfg.slots
+        self.nb = self.slots // d
+
+    # -- rotation-key requirements ------------------------------------
+
+    def required_rotations(self) -> tuple[int, ...]:
+        """Power-of-two shifts (both signs) covering rotsum/repeat trees."""
+        out = set()
+        s = 1
+        while s < self.slots:
+            out.add(s)
+            out.add(-s)
+            s *= 2
+        return tuple(sorted(out))
+
+    # -- slot pattern builders (host numpy) ---------------------------
+
+    def expanded_slots(self, v: np.ndarray) -> np.ndarray:
+        full = np.zeros(self.nb)
+        full[: len(v)] = v
+        return np.repeat(full, self.d)
+
+    def repeated_slots(self, v: np.ndarray) -> np.ndarray:
+        full = np.zeros(self.d)
+        full[: len(v)] = v
+        return np.tile(full, self.nb)
+
+    def matrix_re_slots(self, W: np.ndarray) -> np.ndarray:
+        """Weight layout for matmul_re: slot[d*j + i] = W[i][j].
+        (The reason the reference pipeline pre-transposes weights —
+        transpose_w.py:10-37.)"""
+        d = self.d
+        out = np.zeros(self.slots)
+        out[: W.shape[1] * d] = np.asarray(W).T.reshape(-1)[: W.shape[1] * d] \
+            if W.shape[0] == d else np.pad(np.asarray(W).T, ((0, 0), (0, d - W.shape[0]))).reshape(-1)
+        return out
+
+    def matrix_cr_slots(self, W: np.ndarray) -> np.ndarray:
+        """Weight layout for matmul_cr: slot[d*j + i] = W[j][i]."""
+        d = self.d
+        Wp = np.zeros((self.nb, d))
+        Wp[: W.shape[0], : W.shape[1]] = W
+        return Wp.reshape(-1)
+
+    # -- mask library (FHEController.cpp:1207-1286) --------------------
+
+    def mask_block(self, j: int, value: float = 1.0) -> np.ndarray:
+        m = np.zeros(self.slots)
+        m[j * self.d: (j + 1) * self.d] = value
+        return m
+
+    def mask_mod_n(self, n: int, value: float = 1.0, offset: int = 0) -> np.ndarray:
+        m = np.zeros(self.slots)
+        m[offset::n] = value
+        return m
+
+    def mask_first_n(self, n: int, value: float = 1.0) -> np.ndarray:
+        m = np.zeros(self.slots)
+        m[:n] = value
+        return m
+
+    def mask_heads(self, stride: int, value: float = 1.0) -> np.ndarray:
+        """1 on the first `stride` lanes of every block (reference
+        mask_heads with stride 64 / mask_heads_128)."""
+        m = np.zeros(self.slots)
+        for j in range(self.nb):
+            m[j * self.d: j * self.d + stride] = value
+        return m
+
+    # -- rotate-accumulate trees (FHEController.cpp:829-867) -----------
+
+    def rotsum(self, ct: Ciphertext, count: int, padding: int) -> Ciphertext:
+        """slot[s] += sum over count strided copies: log-depth tree."""
+        ev = self.ev
+        for i in range(_log2(count)):
+            ct = ev.add(ct, ev.rotate(ct, padding * (1 << i)))
+        return ct
+
+    def repeat(self, ct: Ciphertext, count: int, padding: int = 1) -> Ciphertext:
+        """Broadcast by negative-rotation tree."""
+        ev = self.ev
+        for i in range(_log2(count)):
+            ct = ev.add(ct, ev.rotate(ct, -padding * (1 << i)))
+        return ct
+
+    # -- matmul families (FHEController.cpp:869-1058) -------------------
+
+    def matmul_re(self, ct_exp: Ciphertext, w_pt: Plaintext,
+                  bias_pt: Plaintext | None = None) -> Ciphertext:
+        """expanded x (matrix in RE layout) -> repeated y = W x (+ b)."""
+        out = self.ev.mul_plain(ct_exp, w_pt)
+        out = self.rotsum(out, self.nb, self.d)
+        if bias_pt is not None:
+            out = self.ev.add_plain(out, bias_pt)
+        return out
+
+    def matmul_cr(self, ct_rep: Ciphertext, w_pt: Plaintext,
+                  width: int | None = None) -> Ciphertext:
+        """repeated x (matrix in CR layout) -> expanded-dirty y = W x:
+        slot[d*j] = y_j, other lanes hold partial garbage (masked later,
+        exactly as the reference consumes it)."""
+        out = self.ev.mul_plain(ct_rep, w_pt)
+        return self.rotsum(out, width or self.d, 1)
+
+    # -- BSGS diagonal matmul (the TPU-first path; north-star item) -----
+
+    def matmul_bsgs(self, ct: Ciphertext, W: np.ndarray,
+                    scale: float | None = None) -> Ciphertext:
+        """y = W @ x for x packed plainly in the first dim slots
+        (x in slots [0, dim)), W (dim x dim), dim a power of two dividing
+        slots.  Baby-step/giant-step over generalized diagonals:
+        dim rotations become ~2*sqrt(dim).
+
+        For a matrix-packed ciphertext (nb tokens, one per block, each
+        block a d-vector) pass W block-diagonalized: the same diagonal
+        structure applies per block as long as rotations stay intra-block
+        multiples — handled by diag construction below when wrap=d.
+        """
+        ev = self.ev
+        dim = W.shape[0]
+        assert W.shape == (dim, dim)
+        bs = 1 << (int(math.ceil(_log2_f(dim) / 2)))
+        gs = dim // bs
+        # generalized diagonals over a wrap of `dim` replicated across slots
+        diags = {}
+        for k in range(dim):
+            dk = np.array([W[i % dim][(i + k) % dim] for i in range(dim)])
+            diags[k] = np.tile(dk, self.slots // dim)
+        baby = {j: ev.rotate(ct, j) for j in range(bs)}
+        acc = None
+        for g in range(gs):
+            inner = None
+            for j in range(bs):
+                k = g * bs + j
+                if k >= dim:
+                    break
+                dk = np.roll(diags[k], g * bs)
+                pt = ev.encode(dk, nl=ct.nl, scale=scale or ev.ctx.delta)
+                term = ev.mul_plain(baby[j], pt, rescale=False)
+                inner = term if inner is None else ev.add(inner, term)
+            if inner is None:
+                continue
+            rot = ev.rotate(inner, g * bs) if g else inner
+            acc = rot if acc is None else ev.add(acc, rot)
+        return ev.rescale(acc)
+
+    # -- wrap / unwrap (FHEController.cpp:1060-1162) --------------------
+
+    def wrap_up_repeated(self, cts: list[Ciphertext],
+                         scale: float | None = None) -> Ciphertext:
+        """Mask block j of ct j and sum: n repeated cts -> one ct whose
+        block j holds ct j's d-vector."""
+        ev = self.ev
+        out = None
+        for j, ct in enumerate(cts):
+            pt = ev.encode(self.mask_block(j), nl=ct.nl,
+                           scale=scale or ev.ctx.delta)
+            t = ev.mul_plain(ct, pt, rescale=False)
+            out = t if out is None else ev.add(out, t)
+        return ev.rescale(out)
+
+    def wrap_up_expanded(self, cts: list[Ciphertext]) -> Ciphertext:
+        """Stride-mask + interleave n expanded-dirty cts into one ct:
+        result slot[d*j + t] = ct_t's y_j (reference wrapUpExpanded)."""
+        ev = self.ev
+        out = None
+        for t, ct in enumerate(cts):
+            pt = ev.encode(self.mask_mod_n(self.d), nl=ct.nl)
+            m = ev.mul_plain(ct, pt, rescale=False)
+            if t:
+                m = ev.rotate(m, -t)
+            out = m if out is None else ev.add(out, m)
+        return ev.rescale(out)
+
+    def unwrap_expanded(self, ct: Ciphertext, index: int) -> Ciphertext:
+        """Extract interleaved column `index` back to a repeated ct."""
+        ev = self.ev
+        pt = ev.encode(self.mask_mod_n(self.d, offset=index), nl=ct.nl)
+        m = ev.mul_plain(ct, pt, rescale=False)
+        if index:
+            m = ev.rotate(m, index)
+        m = ev.rescale(m)
+        return self.repeat(m, self.d, 1)
+
+
+def _log2_f(x: int) -> int:
+    return x.bit_length() - 1

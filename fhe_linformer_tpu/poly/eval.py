@@ -1,0 +1,152 @@
+"""Homomorphic polynomial evaluation: Paterson-Stockmeyer in monomial and
+Chebyshev bases.
+
+Replaces the OpenFHE EvalPoly / EvalChebyshevFunction surface the reference
+leans on (/root/reference/src/FHEController.cpp:1291, :486, :1313-1336).
+
+Scale discipline: every linear combination routes each term through a
+constant multiply whose plaintext scale is solved so that all terms land on
+one exact (level, scale) target — the automated equivalent of FLEXIBLEAUTO
+adjustments, with the running scale tracked in host floats.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..ckks.ciphertext import Ciphertext
+from ..ckks.evaluator import Evaluator
+from .cheb import chebyshev_fit, cheb_divmod
+
+
+class PolyEvaluator:
+    def __init__(self, ev: Evaluator):
+        self.ev = ev
+
+    # ------------------------------------------------------------------
+    # linear combination with exact (nl, scale) targeting
+    # ------------------------------------------------------------------
+
+    def combine(self, terms: list[tuple[Ciphertext, float]], const: float,
+                out_nl: int | None = None,
+                out_scale: float | None = None) -> Ciphertext:
+        """sum_i coeff_i * ct_i + const, all terms landed on one exact
+        (nl, scale).  Spends one level (constant multiplies)."""
+        ev = self.ev
+        assert terms, "empty combination"
+        nl_c = min(ct.nl for ct, _ in terms) if out_nl is None else out_nl + 1
+        out_nl = nl_c - 1
+        out_scale = out_scale or ev.ctx.delta
+        qd = float(ev.ctx.qs[out_nl])
+        acc = None
+        for ct, c in terms:
+            ct = ev.drop_to(ct, nl_c)
+            pt = ev.encode_const(c, nl_c, out_scale * qd / ct.scale)
+            t = ev.mul_plain(ct, pt, rescale=False)
+            acc = t if acc is None else ev.add(acc, t)
+        acc = ev.rescale(acc)
+        acc.scale = out_scale
+        if const != 0.0:
+            acc = ev.add_plain(acc, ev.encode_const(const, acc.nl, acc.scale))
+        return acc
+
+    # ------------------------------------------------------------------
+    # monomial Paterson-Stockmeyer (low degree, e.g. the exp Taylor)
+    # ------------------------------------------------------------------
+
+    def power_basis(self, x: Ciphertext, k: int) -> dict[int, Ciphertext]:
+        """x^1..x^k via binary products (depth ceil(log2 k))."""
+        ev = self.ev
+        pows = {1: x}
+        for i in range(2, k + 1):
+            a = i // 2
+            b = i - a
+            pows[i] = ev.mul(pows[a], pows[b])
+        return pows
+
+    def eval_poly(self, x: Ciphertext, coeffs) -> Ciphertext:
+        """p(x) = sum_i coeffs[i] x^i, monomial basis (EvalPoly parity).
+        Suitable for small degree; depth = ceil(log2 deg) + 1."""
+        coeffs = list(coeffs)
+        deg = len(coeffs) - 1
+        assert deg >= 1
+        pows = self.power_basis(x, deg)
+        terms = [(pows[i], coeffs[i]) for i in range(1, deg + 1)]
+        return self.combine(terms, coeffs[0])
+
+    # ------------------------------------------------------------------
+    # Chebyshev-basis Paterson-Stockmeyer (high degree)
+    # ------------------------------------------------------------------
+
+    def eval_chebyshev_series(self, y: Ciphertext, coeffs) -> Ciphertext:
+        """sum_i c_i T_i(y), y expected in [-1, 1]."""
+        ev = self.ev
+        coeffs = np.asarray(coeffs, np.float64)
+        deg = len(coeffs) - 1
+        k = max(2, 1 << int(math.ceil(math.log2(max(deg, 2)) / 2)))
+        babies = {1: y}
+        # T_{2i} = 2 T_i^2 - 1 ; T_{i+j} = 2 T_i T_j - T_{i-j}
+        for i in range(2, k + 1):
+            a, b = i // 2, i - i // 2
+            prod = ev.mul(babies[a], babies[b])
+            prod = ev.mul_scalar_int(prod, 2)
+            if a == b:
+                t = ev.add_plain(prod, ev.encode_const(-1.0, prod.nl, prod.scale))
+            else:
+                tm = ev.adjust(babies[b - a], prod.nl, prod.scale)
+                t = ev.sub(prod, tm)
+            babies[i] = t
+        giants = {k: babies[k]}
+        m = k
+        while m < deg:
+            g = ev.mul(giants[m], giants[m])
+            g = ev.mul_scalar_int(g, 2)
+            g = ev.add_plain(g, ev.encode_const(-1.0, g.nl, g.scale))
+            giants[2 * m] = g
+            m *= 2
+
+        def rec(c: np.ndarray) -> Ciphertext:
+            d = len(c) - 1
+            while d > 0 and c[d] == 0.0:
+                d -= 1
+            c = c[: d + 1]
+            if d < k:
+                if d == 0:
+                    return self.combine([(babies[1], 0.0)], c[0])
+                terms = [(babies[i], c[i]) for i in range(1, d + 1)]
+                return self.combine(terms, c[0])
+            m = k
+            while 2 * m <= d:
+                m *= 2
+            q, r = cheb_divmod(c, m)
+            left = ev.mul(rec_or_const(q), giants[m])
+            if np.any(r != 0.0):
+                right = rec(np.asarray(r))
+                right = ev.adjust(right, left.nl, left.scale)
+                return ev.add(left, right)
+            return left
+
+        def rec_or_const(c: np.ndarray) -> Ciphertext:
+            # quotient may be a bare constant: fold via combine on T_1
+            d = len(c) - 1
+            if d == 0 or not np.any(c[1:] != 0.0):
+                return self.combine([(babies[1], 0.0)], c[0])
+            return rec(np.asarray(c))
+
+        return rec(coeffs)
+
+    def eval_chebyshev_function(self, f, ct: Ciphertext, a: float, b: float,
+                                degree: int) -> Ciphertext:
+        """Chebyshev-approximate f on [a, b] and evaluate homomorphically
+        (EvalChebyshevFunction parity)."""
+        coeffs = chebyshev_fit(f, a, b, degree)
+        # affine map y = (2x - a - b)/(b - a)
+        ev = self.ev
+        sc = 2.0 / (b - a)
+        sh = -(a + b) / (b - a)
+        y = ev.mul_scalar(ct, sc)
+        if sh != 0.0:
+            y = ev.add_plain(y, ev.encode_const(sh, y.nl, y.scale))
+        return self.eval_chebyshev_series(y, coeffs)

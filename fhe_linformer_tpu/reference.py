@@ -85,9 +85,9 @@ def negacyclic_mul_naive(a: np.ndarray, b: np.ndarray, q: int) -> np.ndarray:
     for i in range(n):
         if a[i] == 0:
             continue
-        out[: n - i] += a[i] * b[i:]
+        out[i:] += a[i] * b[: n - i]      # X^(i+j), i+j < n
         if i:
-            out[n - i:] -= a[i] * b[: n - i]
+            out[:i] -= a[i] * b[n - i:]   # X^(i+j-n) wraps with sign flip
     return (out % q).astype(np.int64)
 
 

@@ -1,0 +1,114 @@
+"""Scheme-level tests: encode/encrypt/evaluate/decrypt roundtrips.
+
+Mirrors the reference's manual golden-model verification discipline
+(SURVEY.md §4) as an automated suite on a small ring.
+"""
+
+import numpy as np
+import pytest
+
+from fhe_linformer_tpu.ckks import CKKSConfig, Context, Evaluator, generate_keys
+
+CFG = CKKSConfig(n=256, scale_bits=26, num_scaling=6, dnum=2, seed=123)
+
+
+@pytest.fixture(scope="module")
+def ev():
+    ctx = Context(CFG)
+    keys = generate_keys(ctx, rotations=(1, 2, -1, 4), conj=True)
+    return Evaluator(ctx, keys)
+
+
+def _rand(slots, seed=0, lo=-1.0, hi=1.0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(lo, hi, slots)
+
+
+def test_encode_decode(ev):
+    z = _rand(CFG.slots, 1)
+    pt = ev.encode(z)
+    # decode path: decrypt of an encryption of pt must round-trip
+    back = np.real(np.asarray(ev.decrypt(ev.encrypt(pt=pt))))
+    np.testing.assert_allclose(back, z, atol=2e-4)
+
+
+def test_add_sub_neg(ev):
+    a, b = _rand(CFG.slots, 2), _rand(CFG.slots, 3)
+    ca, cb = ev.encrypt(a), ev.encrypt(b)
+    np.testing.assert_allclose(np.real(ev.decrypt(ev.add(ca, cb))), a + b, atol=2e-4)
+    np.testing.assert_allclose(np.real(ev.decrypt(ev.sub(ca, cb))), a - b, atol=2e-4)
+    np.testing.assert_allclose(np.real(ev.decrypt(ev.neg(ca))), -a, atol=2e-4)
+    np.testing.assert_allclose(
+        np.real(ev.decrypt(ev.add_plain(ca, ev.encode(b)))), a + b, atol=2e-4)
+
+
+def test_mul_plain_and_rescale(ev):
+    a, b = _rand(CFG.slots, 4), _rand(CFG.slots, 5)
+    ca = ev.encrypt(a)
+    out = ev.mul_plain(ca, ev.encode(b))
+    assert out.nl == ca.nl - 1
+    np.testing.assert_allclose(np.real(ev.decrypt(out)), a * b, atol=3e-4)
+
+
+def test_mul_ct_ct_relin(ev):
+    a, b = _rand(CFG.slots, 6), _rand(CFG.slots, 7)
+    ca, cb = ev.encrypt(a), ev.encrypt(b)
+    out = ev.mul(ca, cb)
+    np.testing.assert_allclose(np.real(ev.decrypt(out)), a * b, atol=1e-3)
+
+
+def test_mul_depth_chain(ev):
+    a = _rand(CFG.slots, 8, 0.5, 1.0)
+    ct = ev.encrypt(a)
+    expect = a.copy()
+    for _ in range(3):
+        ct = ev.mul(ct, ct)
+        expect = expect * expect
+    np.testing.assert_allclose(np.real(ev.decrypt(ct)), expect, atol=5e-3)
+
+
+def test_rotate(ev):
+    a = _rand(CFG.slots, 9)
+    ca = ev.encrypt(a)
+    for r in (1, 2, -1):
+        got = np.real(ev.decrypt(ev.rotate(ca, r)))
+        np.testing.assert_allclose(got, np.roll(a, -r), atol=1e-3,
+                                   err_msg=f"rotation {r}")
+
+
+def test_rotate_composes_with_mult(ev):
+    a, b = _rand(CFG.slots, 10), _rand(CFG.slots, 11)
+    ca = ev.encrypt(a)
+    out = ev.rotate(ev.mul_plain(ca, ev.encode(b)), 4)
+    np.testing.assert_allclose(np.real(ev.decrypt(out)),
+                               np.roll(a * b, -4), atol=1e-3)
+
+
+def test_conjugate(ev):
+    rng = np.random.default_rng(12)
+    z = rng.uniform(-1, 1, CFG.slots) + 1j * rng.uniform(-1, 1, CFG.slots)
+    cz = ev.encrypt(z)
+    got = np.asarray(ev.decrypt(ev.conjugate(cz)))
+    np.testing.assert_allclose(got, np.conj(z), atol=1e-3)
+
+
+def test_mul_scalar(ev):
+    a = _rand(CFG.slots, 13)
+    ca = ev.encrypt(a)
+    out = ev.mul_scalar(ca, 0.37)
+    np.testing.assert_allclose(np.real(ev.decrypt(out)), 0.37 * a, atol=3e-4)
+    out2 = ev.mul_scalar_int(ca, 3)
+    np.testing.assert_allclose(np.real(ev.decrypt(out2)), 3 * a, atol=3e-4)
+
+
+def test_batched_ciphertexts(ev):
+    vals = np.stack([_rand(CFG.slots, 20 + i) for i in range(4)])
+    ct = ev.encrypt(vals, batch=True)
+    assert ct.c0.shape[0] == 4
+    w = _rand(CFG.slots, 30)
+    out = ev.mul_plain(ct, ev.encode(w))
+    got = np.real(ev.decrypt(out))
+    np.testing.assert_allclose(got, vals * w, atol=3e-4)
+    rot = ev.rotate(ct, 2)
+    np.testing.assert_allclose(np.real(ev.decrypt(rot)),
+                               np.roll(vals, -2, axis=-1), atol=1e-3)
