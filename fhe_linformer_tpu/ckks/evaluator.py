@@ -97,6 +97,19 @@ class Evaluator:
         out.scale = scale  # exact by construction; avoid float drift
         return out
 
+    def match(self, a: Ciphertext, b: Ciphertext):
+        """Bring two ciphertexts to a common exact (nl, scale) pair,
+        spending at most one level on whichever branches need it."""
+        if a.nl == b.nl:
+            if abs(a.scale / b.scale - 1.0) < 1e-9:
+                return a, b
+            nl = a.nl - 1
+            s = self.ctx.delta
+            return self.adjust(a, nl, s), self.adjust(b, nl, s)
+        if a.nl > b.nl:
+            return self.adjust(a, b.nl, b.scale), b
+        return a, self.adjust(b, a.nl, a.scale)
+
     def encrypt(self, values=None, pt: Plaintext | None = None,
                 nl: int | None = None, scale: float | None = None,
                 batch: bool = False) -> Ciphertext:

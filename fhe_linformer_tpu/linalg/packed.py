@@ -127,12 +127,15 @@ class PackedOps:
     # -- matmul families (FHEController.cpp:869-1058) -------------------
 
     def matmul_re(self, ct_exp: Ciphertext, w_pt: Plaintext,
-                  bias_pt: Plaintext | None = None) -> Ciphertext:
-        """expanded x (matrix in RE layout) -> repeated y = W x (+ b)."""
+                  bias_slots: np.ndarray | None = None) -> Ciphertext:
+        """expanded x (matrix in RE layout) -> repeated y = W x (+ b).
+        Bias arrives as raw slots and is encoded at the post-rescale scale
+        (the reference threads ct levels by hand for the same purpose)."""
         out = self.ev.mul_plain(ct_exp, w_pt)
         out = self.rotsum(out, self.nb, self.d)
-        if bias_pt is not None:
-            out = self.ev.add_plain(out, bias_pt)
+        if bias_slots is not None:
+            pt = self.ev.encode(bias_slots, nl=out.nl, scale=out.scale)
+            out = self.ev.add_plain(out, pt)
         return out
 
     def matmul_cr(self, ct_rep: Ciphertext, w_pt: Plaintext,
@@ -184,6 +187,57 @@ class PackedOps:
             rot = ev.rotate(inner, g * bs) if g else inner
             acc = rot if acc is None else ev.add(acc, rot)
         return ev.rescale(acc)
+
+    # -- batched log-tree interleave (TPU-native wrap/unwrap) -----------
+    # The reference builds wrapped ciphertexts with an O(m) chain of
+    # single-ct rotate(-1) ops (wrapUpExpanded, matmulScores interleave).
+    # Here the same packing runs as log2(m) *batched* Galois ops: each
+    # step merges ciphertext pairs, so the keyswitch work rides large
+    # batch dims on the MXU instead of m sequential launches.
+
+    def interleave_batch(self, ct: Ciphertext, stride: int = 1) -> Ciphertext:
+        """(m, ...) batch -> single ct; batch index t lands at lane offset
+        t*stride.  Caller pre-masks so merged slots don't collide."""
+        ev = self.ev
+        m = ct.c0.shape[0]
+        mp = 1 << (m - 1).bit_length()
+        if mp != m:
+            import jax.numpy as jnp
+            pad = [(0, mp - m)] + [(0, 0)] * (ct.c0.ndim - 1)
+            ct = ct.with_data(jnp.pad(ct.c0, pad), jnp.pad(ct.c1, pad))
+        step = 1
+        while ct.c0.shape[0] > 1:
+            even = ct.with_data(ct.c0[0::2], ct.c1[0::2])
+            odd = ct.with_data(ct.c0[1::2], ct.c1[1::2])
+            odd = ev.rotate(odd, -step * stride)
+            ct = ev.add(even, odd)
+            step *= 2
+        return ct.with_data(ct.c0[0], ct.c1[0])
+
+    def deinterleave_batch(self, ct: Ciphertext, m: int,
+                           stride: int = 1) -> Ciphertext:
+        """Single ct -> (m, ...) batch with batch element t = rotate(ct,
+        t*stride) (callers then mask+repeat).  log2(m) batched rotations."""
+        import jax.numpy as jnp
+        ev = self.ev
+        out = ct.with_data(ct.c0[None], ct.c1[None])
+        k = 1
+        while out.c0.shape[0] < m:
+            rot = ev.rotate(out, k * stride)
+            out = out.with_data(jnp.concatenate([out.c0, rot.c0]),
+                                jnp.concatenate([out.c1, rot.c1]))
+            k *= 2
+        return out.with_data(out.c0[:m], out.c1[:m])
+
+    def unwrap_to_repeated(self, ct: Ciphertext, m: int) -> Ciphertext:
+        """Inverse of an interleaved wrap: produce an (m, ...) batch of
+        repeated-layout cts, one per interleaved lane (reference
+        unwrapExpanded, cpp:1086-1100, batched)."""
+        ev = self.ev
+        batch = self.deinterleave_batch(ct, m, 1)
+        pt = ev.encode(self.mask_mod_n(self.d), nl=batch.nl)
+        masked = ev.mul_plain(batch, pt)
+        return self.repeat(masked, self.d, 1)
 
     # -- wrap / unwrap (FHEController.cpp:1060-1162) --------------------
 

@@ -95,7 +95,7 @@ class PolyEvaluator:
             if a == b:
                 t = ev.add_plain(prod, ev.encode_const(-1.0, prod.nl, prod.scale))
             else:
-                tm = ev.adjust(babies[b - a], prod.nl, prod.scale)
+                prod, tm = ev.match(prod, babies[b - a])
                 t = ev.sub(prod, tm)
             babies[i] = t
         giants = {k: babies[k]}
@@ -124,7 +124,7 @@ class PolyEvaluator:
             left = ev.mul(rec_or_const(q), giants[m])
             if np.any(r != 0.0):
                 right = rec(np.asarray(r))
-                right = ev.adjust(right, left.nl, left.scale)
+                left, right = ev.match(left, right)
                 return ev.add(left, right)
             return left
 

@@ -1,0 +1,70 @@
+"""Polynomial evaluation layer tests (EvalPoly / Chebyshev parity)."""
+
+import numpy as np
+import pytest
+
+from fhe_linformer_tpu.ckks import CKKSConfig, Context, Evaluator, generate_keys
+from fhe_linformer_tpu.poly import cheb_divmod, cheb_eval, chebyshev_fit
+from fhe_linformer_tpu.poly.eval import PolyEvaluator
+from fhe_linformer_tpu.poly.gadgets import Gadgets
+
+CFG = CKKSConfig(n=256, scale_bits=26, num_scaling=14, dnum=3, seed=321)
+
+
+@pytest.fixture(scope="module")
+def ev():
+    ctx = Context(CFG)
+    keys = generate_keys(ctx, rotations=())
+    return Evaluator(ctx, keys)
+
+
+def test_cheb_divmod_identity():
+    rng = np.random.default_rng(0)
+    for deg, m in [(10, 4), (59, 16), (119, 32)]:
+        c = rng.normal(size=deg + 1)
+        q, r = cheb_divmod(c, m)
+        x = np.linspace(-1, 1, 113)
+        tm = np.polynomial.chebyshev.chebval(x, [0.0] * m + [1.0])
+        np.testing.assert_allclose(
+            cheb_eval(c, x), cheb_eval(q, x) * tm + cheb_eval(r, x), atol=1e-9)
+
+
+def test_eval_poly_deg6(ev):
+    coeffs = [0.3, -1.2, 0.5, 0.25, -0.125, 0.0625, 0.01]
+    rng = np.random.default_rng(1)
+    z = rng.uniform(-1, 1, CFG.slots)
+    ct = ev.encrypt(z)
+    pe = PolyEvaluator(ev)
+    out = pe.eval_poly(ct, coeffs)
+    want = np.polyval(coeffs[::-1], z)
+    np.testing.assert_allclose(np.real(ev.decrypt(out)), want, atol=3e-3)
+
+
+def test_eval_chebyshev_inverse(ev):
+    rng = np.random.default_rng(2)
+    z = rng.uniform(0.3, 2.0, CFG.slots)
+    ct = ev.encrypt(z)
+    g = Gadgets(ev)
+    out = g.eval_inverse(ct, 0.25, 2.1, degree=59)
+    np.testing.assert_allclose(np.real(ev.decrypt(out)), 1.0 / z,
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_eval_tanh(ev):
+    rng = np.random.default_rng(3)
+    z = rng.uniform(-1, 1, CFG.slots)
+    ct = ev.encrypt(z)
+    g = Gadgets(ev)
+    out = g.eval_tanh(ct, -1.0, 1.0, mult=3.0, degree=59)
+    np.testing.assert_allclose(np.real(ev.decrypt(out)), np.tanh(3.0 * z),
+                               atol=2e-2)
+
+
+def test_eval_exp_gadget(ev):
+    rng = np.random.default_rng(4)
+    z = rng.uniform(-0.2, 0.2, CFG.slots)
+    ct = ev.encrypt(z)
+    g = Gadgets(ev)
+    out = g.eval_exp(ct)
+    np.testing.assert_allclose(np.real(ev.decrypt(out)), np.exp(8.0 * z),
+                               atol=5e-2, rtol=5e-2)
