@@ -153,15 +153,14 @@ class Evaluator:
 
     def _crt_lift(self, res: np.ndarray, nl: int, m: int) -> np.ndarray:
         """Centered CRT reconstruction from the first m limbs (exact while
-        the true magnitude < prod(first m primes)/2)."""
+        the true magnitude < prod(first m primes)/2).  Uses the native
+        __int128 lifter when built (io/native.py), Python ints otherwise."""
         qs = [int(q) for q in self.ctx.qs[:m]]
-        Q = _prod(qs)
-        acc = np.zeros(res.shape[:-2] + res.shape[-1:], dtype=object)
-        for i, q in enumerate(qs):
-            Qi = Q // q
-            w = Qi * pow(Qi % q, q - 2, q)
-            acc = (acc + res[..., i, :].astype(object) * w) % Q
-        return np.where(acc > Q // 2, acc - Q, acc)
+        from ..io.native import crt_lift_center
+        sub = res[..., :m, :]
+        flat = np.moveaxis(sub, -2, 0).reshape(m, -1)
+        out = crt_lift_center(flat, qs)
+        return out.reshape(sub.shape[:-2] + sub.shape[-1:])
 
     # ------------------------------------------------------------------
     # arithmetic
@@ -377,9 +376,13 @@ def _rescale_core(c0, c1, plan):
 def _ks_inner(cx_coeff, ksk_b, ksk_a, ks):
     """Hybrid key-switch core on coefficient-domain input limbs (..., nl, N).
     ksk_b/ksk_a: (ndig, nl + k_sp, N) already sliced to the target basis.
-    Returns (k0, k1) eval-domain over the active q basis (after P mod-down)."""
-    acc0 = acc1 = None
-    for j, dg in enumerate(ks.digits):
+    Returns (k0, k1) eval-domain over the active q basis (after P mod-down).
+
+    All digits ride ONE batched NTT / one batched inner-product: the digit
+    axis stacks as a leading batch dim, which keeps compiled graphs small
+    (one NTT instance instead of dnum) and feeds the MXU bigger batches."""
+    ys = []
+    for dg in ks.digits:
         g = dg.group
         lo = g[0]
         w = ma.shoup_mulmod(cx_coeff[..., lo: lo + len(g), :],
@@ -390,11 +393,19 @@ def _ks_inner(cx_coeff, ksk_b, ksk_a, ks):
             term = ma.shoup_mulmod(w[..., ti: ti + 1, :],
                                    dg.conv[ti], dg.conv_s[ti], ks.q_tgt)
             y = term if y is None else ma.addmod(y, term, ks.q_tgt)
-        y_e = _ntt_fwd(y, ks.t_tgt)
-        t0 = ma.barrett_mulmod(y_e, ksk_b[j], ks.q_tgt, ks.mu_tgt, ks.sh_tgt)
-        t1 = ma.barrett_mulmod(y_e, ksk_a[j], ks.q_tgt, ks.mu_tgt, ks.sh_tgt)
-        acc0 = t0 if acc0 is None else ma.addmod(acc0, t0, ks.q_tgt)
-        acc1 = t1 if acc1 is None else ma.addmod(acc1, t1, ks.q_tgt)
+        ys.append(y)
+    y_all = jnp.stack(ys)                      # (ndig, ..., tgt, N)
+    y_e = _ntt_fwd(y_all, ks.t_tgt)
+    nbatch = y_e.ndim - 3
+    kb = ksk_b.reshape(ksk_b.shape[:1] + (1,) * nbatch + ksk_b.shape[1:])
+    ka = ksk_a.reshape(ksk_a.shape[:1] + (1,) * nbatch + ksk_a.shape[1:])
+    t0 = ma.barrett_mulmod(y_e, kb, ks.q_tgt, ks.mu_tgt, ks.sh_tgt)
+    t1 = ma.barrett_mulmod(y_e, ka, ks.q_tgt, ks.mu_tgt, ks.sh_tgt)
+    acc0 = t0[0]
+    acc1 = t1[0]
+    for j in range(1, t0.shape[0]):
+        acc0 = ma.addmod(acc0, t0[j], ks.q_tgt)
+        acc1 = ma.addmod(acc1, t1[j], ks.q_tgt)
     return _mod_down(acc0, ks), _mod_down(acc1, ks)
 
 

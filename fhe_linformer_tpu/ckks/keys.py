@@ -127,9 +127,7 @@ class KeyGenerator:
             fac_s = jnp.asarray(ma.shoup_precompute(
                 factor, np.asarray([ctx.basis[i] for i in full],
                                    np.int64).reshape(-1, 1)))
-            b_j = ma.addmod(
-                ma.submod(e_j, ma.barrett_mulmod(a_j, s, q, mu, sh), q),
-                ma.shoup_mulmod(s_prime_eval, fac, fac_s, q), q)
+            b_j = _ksk_digit(a_j, e_j, s, s_prime_eval, fac, fac_s, q, mu, sh)
             bs.append(b_j)
             as_.append(a_j)
         return KSKey(jnp.stack(bs), jnp.stack(as_))
@@ -153,6 +151,14 @@ class KeyGenerator:
         perm = self.ctx.galois_perm(t)
         s_rot = jnp.take(sk.eval_full, perm, axis=-1)
         return self._ks_key(sk, s_rot)
+
+
+@jax.jit
+def _ksk_digit(a_j, e_j, s, s_prime, fac, fac_s, q, mu, sh):
+    """b_j = e_j - a_j*s + (P*F_j)*s' over the full extended basis."""
+    return ma.addmod(
+        ma.submod(e_j, ma.barrett_mulmod(a_j, s, q, mu, sh), q),
+        ma.shoup_mulmod(s_prime, fac, fac_s, q), q)
 
 
 @dataclass

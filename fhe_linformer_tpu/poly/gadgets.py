@@ -40,15 +40,17 @@ class Gadgets:
         self.ev = ev
         self.poly = PolyEvaluator(ev)
 
-    def eval_exp(self, ct: Ciphertext, mask_empty: np.ndarray | None = None)\
-            -> Ciphertext:
-        """Approximates e^(8x) for |x| small: deg-6 Taylor of e^x then x^8
-        by three squarings; optional additive mask turns the spurious
-        exp(0)=1 in empty slots back into 0 (cpp:1300-1310)."""
+    def eval_exp(self, ct: Ciphertext, mask_empty: np.ndarray | None = None,
+                 pow8: bool = True) -> Ciphertext:
+        """pow8=True: deg-6 Taylor of e^x then x^8 by three squarings —
+        approximates e^(8x) (circuit mode, cpp:1289-1311).  pow8=False:
+        the bare deg-6 Taylor (what the golden model computes).  Optional
+        additive mask turns the spurious exp(0)=1 in empty slots back to 0."""
         ev = self.ev
         t = self.poly.eval_poly(ct, EXP_TAYLOR_DEG6)
-        for _ in range(3):
-            t = ev.mul(t, t)
+        if pow8:
+            for _ in range(3):
+                t = ev.mul(t, t)
         if mask_empty is not None:
             pt = ev.encode(-1.0 * mask_empty, nl=t.nl, scale=t.scale)
             t = ev.add_plain(t, pt)

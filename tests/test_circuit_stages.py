@@ -1,0 +1,108 @@
+"""Stage-level parity of the encrypted circuit vs the golden model.
+
+Each stage is fed freshly-encrypted inputs so the chain stays shallow and
+jit shapes are shared — the fast-everyday counterpart of the gated
+full-depth e2e in test_circuit.py."""
+
+import numpy as np
+import pytest
+
+from fhe_linformer_tpu.ckks import CKKSConfig, Context, Evaluator, generate_keys
+from fhe_linformer_tpu.models import golden
+from fhe_linformer_tpu.models.circuit import CircuitParams, EncryptedLinformer
+
+CFG = CKKSConfig(n=256, scale_bits=26, num_scaling=24, dnum=4, seed=42)
+D, KLIN, FFN, NCLS = 8, 4, 32, 5
+S = 5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = Context(CFG)
+    pow2 = []
+    s = 1
+    while s < CFG.slots:
+        pow2 += [s, -s]
+        s *= 2
+    keys = generate_keys(ctx, rotations=tuple(pow2))
+    ev = Evaluator(ctx, keys)
+    w = golden.random_weights(d=D, k_lin=KLIN, d_ffn=FFN, n_classes=NCLS,
+                              max_seq=12, seed=5, scale=0.35)
+    rng = np.random.default_rng(11)
+    emb = rng.normal(0, 0.3, (S - 1, D))
+    _, inter = golden.forward(w, emb, return_intermediates=True)
+    return ev, w, emb, inter
+
+
+def _circ(ev, w, inter, **over):
+    x1 = inter["norm1"]
+    params = CircuitParams(
+        inv_range=(0.5 * inter["exp"].sum(-1).min(),
+                   1.5 * inter["exp"].sum(-1).max()),
+        inv_degree=13, gelu_degree=13, tanh_degree=13,
+        gelu_clip=1.0 / (1.2 * np.abs(x1 @ w.W1.T + w.B1[None]).max()),
+        tanh_scale=1.0 / (1.2 * np.abs(
+            inter["norm2"][:1] @ w.Wp.T + w.bp[None]).max()),
+        exp_pow8=False,
+    )
+    for k, v in over.items():
+        setattr(params, k, v)
+    return EncryptedLinformer(ev, w, params)
+
+
+def _enc_expanded(circ, X):
+    return circ.ev.encrypt(
+        np.stack([circ.ops.expanded_slots(r) for r in np.atleast_2d(X)]),
+        batch=True)
+
+
+def _lane0(circ, ct, rows, cols):
+    vals = np.real(np.asarray(circ.ev.decrypt(ct)))
+    return vals[..., : cols * circ.ops.d: circ.ops.d][:rows]
+
+
+def test_attention_stage(setup):
+    ev, w, emb, inter = setup
+    circ = _circ(ev, w, inter)
+    x_cts, xe, xf, S_total = circ.encrypt_inputs(emb)
+    out = circ.attention(x_cts, xe, xf, S_total)
+    got = _lane0(circ, out, S_total, D)
+    x_in, _, _ = golden.client_preprocess(w, emb)
+    want = x_in + inter["attn_out"]
+    np.testing.assert_allclose(got, want, atol=0.02)
+
+
+def test_wrap_affine_unwrap_stage(setup):
+    ev, w, emb, inter = setup
+    circ = _circ(ev, w, inter)
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 0.5, (S, D))
+    cts = _enc_expanded(circ, X)
+    wrapped = circ.wrap_tokens(cts)
+    wrapped = circ.affine(wrapped, w.a1, w.b1, w.c1, S)
+    back = circ.unwrap_tokens(wrapped, S)
+    got = _lane0(circ, back, S, D)
+    want = golden.affine_norm(X, w.a1, w.b1, w.c1, S)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_ffn_stage(setup):
+    ev, w, emb, inter = setup
+    circ = _circ(ev, w, inter)
+    X = inter["norm1"]
+    cts = _enc_expanded(circ, X)
+    out = circ.ffn(cts)
+    got = _lane0(circ, out, X.shape[0], D)
+    want = golden.gelu(X @ w.W1.T + w.B1[None]) @ w.W2.T + w.B2[None]
+    np.testing.assert_allclose(got, want, atol=0.02)
+
+
+def test_pooler_classifier_stage(setup):
+    ev, w, emb, inter = setup
+    circ = _circ(ev, w, inter)
+    X = inter["norm2"][:1]
+    cts = _enc_expanded(circ, X)
+    one = cts.with_data(cts.c0[0], cts.c1[0])
+    out = circ.pooler_classifier(one)
+    got = np.real(np.asarray(ev.decrypt(out)))[: NCLS * D: D]
+    np.testing.assert_allclose(got, inter["logits"], atol=0.02)
