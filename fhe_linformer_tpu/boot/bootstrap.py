@@ -1,0 +1,214 @@
+"""CKKS bootstrapping: ModRaise -> CoeffsToSlots -> EvalMod -> SlotsToCoeffs.
+
+The reference consumes this as OpenFHE's EvalBootstrap (call sites
+/root/reference/src/FHEController.cpp:438-469; setup :238-239 with level
+budget {3,3}, 2^14 slots, sparse keys) — rebuilt from scratch:
+
+  * ModRaise: lift the last-limb residues (centered) onto the full chain —
+    the integer plaintext becomes s*m + q0*I with |I| <= K (sparse secret),
+    s the incoming tracked scale.
+  * CtS: homomorphic multiply by V^-1 (special-FFT factor groups from
+    boot/transform.py as BSGS diagonal matmuls, one level per group).  The
+    factor s/q0 multiplies the last group at encode time (s rides the
+    FLEXIBLEAUTO-tracked scale, so it is a runtime value), landing slot
+    values on y = (s/q0)*m_c + I_c — fractional message around exact
+    integers, the form sin needs.
+  * EvalMod: sin(2*pi*y) via Chebyshev of cos(2*pi*(y-1/4)/2^r) on [-K, K]
+    plus r double-angle steps (cos 2t = 2 cos^2 t - 1), applied to the
+    real/imag coefficient packings from a conjugation split.
+  * StC: homomorphic multiply by V, with q0/(2*pi*s) folded into its first
+    group, recombining real + i*imag.
+
+`simulate()` mirrors every folding decision in numpy — the development
+oracle and precision report (the reference's compute_approx_error
+workflow, Utils.h:105-125, automated).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ckks.ciphertext import Ciphertext
+from ..ckks.evaluator import Evaluator, _ntt_fwd, _ntt_inv
+from ..linalg.packed import PackedOps
+from ..poly.cheb import chebyshev_fit
+from ..poly.eval import PolyEvaluator
+from .transform import (special_fft_stages, special_ifft_stages,
+                        group_stages, diagonals_of)
+
+
+@dataclass
+class BootConfig:
+    level_budget: tuple = (3, 3)     # CtS / StC groups (reference {3,3})
+    K: int = 16                      # bound on |I| (sparse ternary secret)
+    sin_degree: int = 119
+    double_angles: int = 3
+    bs: int = 0                      # BSGS baby size; 0 = auto
+
+
+class Bootstrapper:
+    def __init__(self, ev: Evaluator, cfg: BootConfig | None = None):
+        self.ev = ev
+        self.cfg = cfg or BootConfig()
+        ctx = ev.ctx
+        n = ctx.cfg.n
+        self.M = ctx.cfg.slots
+        self.ops = PackedOps(ev, d=1)
+
+        # --- transform factor groups (host sparse) ---------------------
+        P, fwd_stages = special_fft_stages(n)
+        cts_groups = group_stages(special_ifft_stages(n),
+                                  self.cfg.level_budget[0])
+        stc_groups = group_stages([P] + fwd_stages, self.cfg.level_budget[1])
+        self.cts_diags = [diagonals_of(g) for g in cts_groups]
+        self.stc_diags = [diagonals_of(g) for g in stc_groups]
+        self.q0 = float(ctx.qs[0])
+
+        maxd = max(len(d) for d in self.cts_diags + self.stc_diags)
+        self.bs = self.cfg.bs or (1 << max(1, int(math.ceil(
+            math.log2(max(2, maxd)) / 2))))
+
+        # --- EvalMod Chebyshev ----------------------------------------
+        r = self.cfg.double_angles
+        self.sin_coeffs = chebyshev_fit(
+            lambda y: np.cos(2 * np.pi * (y - 0.25) / (1 << r)),
+            -self.cfg.K, self.cfg.K, self.cfg.sin_degree)
+        self.poly = PolyEvaluator(ev)
+
+    # -- key requirements --------------------------------------------------
+
+    def required_rotations(self):
+        need = set()
+        for dg in self.cts_diags + self.stc_diags:
+            need |= PackedOps.bsgs_required_rotations(dg.keys(), self.bs,
+                                                      self.M)
+        return tuple(sorted(need))
+
+    # -- stages ------------------------------------------------------------
+
+    def mod_raise(self, ct: Ciphertext) -> Ciphertext:
+        """last-level ciphertext -> full-chain ciphertext of the same
+        integer plaintext (+ q0*I)."""
+        ev, ctx = self.ev, self.ev.ctx
+        from ..ops import modarith as ma
+        ct = ev.drop_to(ct, 1)
+        full = ctx.num_q
+        limbs = ctx.limb_idx(full)
+        t1 = ctx.ntt.tables((0,))
+        tf = ctx.ntt.tables(limbs)
+        q0i = int(ctx.qs[0])
+        half = np.uint32(q0i // 2)
+        qs_np = np.asarray([ctx.basis[i] for i in limbs], np.int64
+                           ).reshape(-1, 1)
+        qrem = jnp.asarray(qs_np.astype(np.uint32))
+        # v mod q_i for v < 2**32 via Shoup with w=1 (q0 >> q_i, so a naive
+        # subtract underflows — unlike rescale, where dropped primes are
+        # within 2x of every remaining prime)
+        ones = jnp.asarray(np.ones_like(qs_np).astype(np.uint32))
+        one_s = jnp.asarray(ma.shoup_precompute(np.ones_like(qs_np), qs_np))
+        q0mod = jnp.asarray((q0i % qs_np).astype(np.uint32))
+        outs = []
+        for c in (ct.c0, ct.c1):
+            v = _ntt_inv(c, t1)
+            vm = ma.shoup_mulmod(v, ones, one_s, qrem)
+            lift = jnp.where(v <= half, vm, ma.submod(vm, q0mod, qrem))
+            outs.append(_ntt_fwd(lift, tf))
+        return Ciphertext(outs[0], outs[1], full, ct.scale)
+
+    def _apply_groups(self, ct: Ciphertext, diag_groups,
+                      mults: dict[int, complex] | None = None) -> Ciphertext:
+        for gi, dg in enumerate(diag_groups):
+            m = (mults or {}).get(gi, 1.0)
+            if m != 1.0:
+                dg = {k: d * m for k, d in dg.items()}
+            ct = self.ops.bsgs_diag_transform(ct, dg, self.bs,
+                                              double_rescale=True)
+        return ct
+
+    def coeffs_to_slots(self, ct: Ciphertext) -> Ciphertext:
+        alpha = ct.scale / self.q0
+        return self._apply_groups(ct, self.cts_diags,
+                                  {len(self.cts_diags) - 1: alpha})
+
+    def slots_to_coeffs(self, ct_r: Ciphertext, ct_i: Ciphertext,
+                        s_in: float) -> Ciphertext:
+        """Recombine yr + i*yi inside the first StC group: both operands go
+        through *identical* op chains (same plaintext scale, same dropped
+        prime), so their tracked scales agree exactly — no scale forcing,
+        which would bake the FLEXIBLEAUTO Delta/q drift (~1e-3) into the
+        message."""
+        ev = self.ev
+        beta = self.q0 / (2 * math.pi * s_in)
+        g0 = {k: d * beta for k, d in self.stc_diags[0].items()}
+        g0i = {k: d * 1j for k, d in g0.items()}
+        a = self.ops.bsgs_diag_transform(ct_r, g0, self.bs,
+                                         double_rescale=True)
+        b = self.ops.bsgs_diag_transform(ct_i, g0i, self.bs,
+                                         double_rescale=True)
+        ct = ev.add(a, b)
+        for dg in self.stc_diags[1:]:
+            ct = self.ops.bsgs_diag_transform(ct, dg, self.bs,
+                                              double_rescale=True)
+        return ct
+
+    def eval_mod(self, ct: Ciphertext, pre_factor: complex) -> Ciphertext:
+        """sin(2 pi y) via cos Chebyshev + double angle.  pre_factor folds
+        the conjugation-split constant and the [-K,K]->[-1,1] normalization
+        into one exact complex multiply."""
+        ev = self.ev
+        pt = ev.encode(np.full(self.M, pre_factor / self.cfg.K), nl=ct.nl)
+        y = ev.mul_plain(ct, pt, rescale=True)
+        g = self.poly.eval_chebyshev_series(y, self.sin_coeffs)
+        for _ in range(self.cfg.double_angles):
+            g = ev.mul(g, g)
+            g = ev.mul_scalar_int(g, 2)
+            g = ev.add_plain(g, ev.encode_const(-1.0, g.nl, g.scale))
+        return g
+
+    def bootstrap(self, ct: Ciphertext) -> Ciphertext:
+        """Refresh a depleted ciphertext to the full chain minus the boot
+        depth (EvalBootstrap parity)."""
+        s_in = ct.scale
+        raised = self.mod_raise(ct)
+        enc = self.coeffs_to_slots(raised)
+        cj = self.ev.conjugate(enc)
+        rsum = self.ev.add(enc, cj)            # 2 * Re
+        dif = self.ev.sub(enc, cj)             # 2i * Im
+        yr = self.eval_mod(rsum, 0.5)
+        yi = self.eval_mod(dif, -0.5j)
+        yi.scale = yr.scale  # identical chains
+        return self.slots_to_coeffs(yr, yi, s_in)
+
+    # -- numpy simulator (development oracle / precision report) ----------
+
+    def simulate(self, slots_raised: np.ndarray, s_in: float) -> np.ndarray:
+        """Given the decoded slots of the raised ciphertext (at scale s_in),
+        produce the slot values the bootstrap should output."""
+        y = np.asarray(slots_raised, np.complex128)
+        for gi, dg in enumerate(self.cts_diags):
+            m = (s_in / self.q0) if gi == len(self.cts_diags) - 1 else 1.0
+            y2 = np.zeros_like(y)
+            for k, d in dg.items():
+                y2 += d * m * np.roll(y, -k)
+            y = y2
+        r = self.cfg.double_angles
+
+        def evalmod(x):
+            g = np.polynomial.chebyshev.chebval(x / self.cfg.K,
+                                                self.sin_coeffs)
+            for _ in range(r):
+                g = 2 * g * g - 1
+            return g
+
+        z = evalmod(np.real(y)) + 1j * evalmod(np.imag(y))
+        for gi, dg in enumerate(self.stc_diags):
+            m = self.q0 / (2 * math.pi * s_in) if gi == 0 else 1.0
+            z2 = np.zeros_like(z)
+            for k, d in dg.items():
+                z2 += d * m * np.roll(z, -k)
+            z = z2
+        return z

@@ -201,19 +201,20 @@ class Evaluator:
 
     def neg(self, ct: Ciphertext) -> Ciphertext:
         q = self.ctx.mod_consts(self.ctx.limb_idx(ct.nl))[0]
-        return ct.with_data(ma.negmod(ct.c0, q), ma.negmod(ct.c1, q))
+        c0, c1 = _neg_core(ct.c0, ct.c1, q)
+        return ct.with_data(c0, c1)
 
     def add_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
         pt = self._pt_to(pt, ct.nl)
         assert abs(ct.scale / pt.scale - 1.0) < 1e-9
         q = self.ctx.mod_consts(self.ctx.limb_idx(ct.nl))[0]
-        return ct.with_data(ma.addmod(ct.c0, pt.data, q), ct.c1)
+        return ct.with_data(_addmod_j(ct.c0, pt.data, q), ct.c1)
 
     def sub_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
         pt = self._pt_to(pt, ct.nl)
         assert abs(ct.scale / pt.scale - 1.0) < 1e-9
         q = self.ctx.mod_consts(self.ctx.limb_idx(ct.nl))[0]
-        return ct.with_data(ma.submod(ct.c0, pt.data, q), ct.c1)
+        return ct.with_data(_submod_j(ct.c0, pt.data, q), ct.c1)
 
     def _pt_to(self, pt: Plaintext, nl: int) -> Plaintext:
         if pt.nl == nl:
@@ -225,8 +226,7 @@ class Evaluator:
                   rescale: bool = True) -> Ciphertext:
         pt = self._pt_to(pt, ct.nl)
         q = self.ctx.mod_consts(self.ctx.limb_idx(ct.nl))[0]
-        c0 = ma.shoup_mulmod(ct.c0, pt.data, pt.shoup, q)
-        c1 = ma.shoup_mulmod(ct.c1, pt.data, pt.shoup, q)
+        c0, c1 = _mul_plain_core(ct.c0, ct.c1, pt.data, pt.shoup, q)
         out = ct.with_data(c0, c1, scale=ct.scale * pt.scale)
         return self.rescale(out) if rescale else out
 
@@ -241,8 +241,8 @@ class Evaluator:
         ks = jnp.asarray(ma.shoup_precompute(
             kv, np.asarray([self.ctx.basis[i] for i in limbs],
                            np.int64).reshape(-1, 1)))
-        return ct.with_data(ma.shoup_mulmod(ct.c0, kj, ks, q),
-                            ma.shoup_mulmod(ct.c1, kj, ks, q))
+        c0, c1 = _mul_plain_core(ct.c0, ct.c1, kj, ks, q)
+        return ct.with_data(c0, c1)
 
     def mul_scalar(self, ct: Ciphertext, x: float,
                    rescale: bool = True) -> Ciphertext:
@@ -354,6 +354,20 @@ def _add_core(a0, a1, b0, b1, q):
 
 
 @jax.jit
+def _mul_plain_core(c0, c1, w, ws, q):
+    return (ma.shoup_mulmod(c0, w, ws, q), ma.shoup_mulmod(c1, w, ws, q))
+
+
+@jax.jit
+def _neg_core(c0, c1, q):
+    return ma.negmod(c0, q), ma.negmod(c1, q)
+
+
+_addmod_j = jax.jit(ma.addmod)
+_submod_j = jax.jit(ma.submod)
+
+
+@jax.jit
 def _sub_core(a0, a1, b0, b1, q):
     return ma.submod(a0, b0, q), ma.submod(a1, b1, q)
 
@@ -394,11 +408,12 @@ def _ks_inner(cx_coeff, ksk_b, ksk_a, ks):
                                    dg.conv[ti], dg.conv_s[ti], ks.q_tgt)
             y = term if y is None else ma.addmod(y, term, ks.q_tgt)
         ys.append(y)
-    y_all = jnp.stack(ys)                      # (ndig, ..., tgt, N)
+    y_all = jnp.stack(ys)                      # (ndig_active, ..., tgt, N)
     y_e = _ntt_fwd(y_all, ks.t_tgt)
     nbatch = y_e.ndim - 3
-    kb = ksk_b.reshape(ksk_b.shape[:1] + (1,) * nbatch + ksk_b.shape[1:])
-    ka = ksk_a.reshape(ksk_a.shape[:1] + (1,) * nbatch + ksk_a.shape[1:])
+    nd = len(ks.digits)                        # active digits <= key digits
+    kb = ksk_b[:nd].reshape((nd,) + (1,) * nbatch + ksk_b.shape[1:])
+    ka = ksk_a[:nd].reshape((nd,) + (1,) * nbatch + ksk_a.shape[1:])
     t0 = ma.barrett_mulmod(y_e, kb, ks.q_tgt, ks.mu_tgt, ks.sh_tgt)
     t1 = ma.barrett_mulmod(y_e, ka, ks.q_tgt, ks.mu_tgt, ks.sh_tgt)
     acc0 = t0[0]

@@ -239,6 +239,63 @@ class PackedOps:
         masked = ev.mul_plain(batch, pt)
         return self.repeat(masked, self.d, 1)
 
+    # -- generic BSGS linear transform over sparse diagonals -----------
+
+    def bsgs_diag_transform(self, ct: Ciphertext,
+                            diags: dict[int, np.ndarray],
+                            bs: int, scale: float | None = None,
+                            double_rescale: bool = False) -> Ciphertext:
+        """y_i = sum_k diags[k][i] * x[(i+k) mod slots]: BSGS over an
+        arbitrary sparse diagonal set (complex diagonals allowed).  Used by
+        bootstrapping CtS/StC group matrices and any dense linear layer.
+        Rotation keys needed: {k % bs} ∪ {bs*(k//bs)} over the offsets.
+
+        double_rescale: encode diagonals at the exact product of the two
+        top primes and drop both after accumulation — the output scale
+        returns to the input scale *exactly* and plaintext quantization
+        drops from 2^-26 to ~2^-52 (costs one extra level; bootstrapping
+        precision depends on this)."""
+        ev = self.ev
+        if double_rescale:
+            scale = float(ev.ctx.qs[ct.nl - 1]) * float(ev.ctx.qs[ct.nl - 2])
+        else:
+            scale = scale or ev.ctx.delta
+        by_giant: dict[int, dict[int, np.ndarray]] = {}
+        for k, d in diags.items():
+            g, j = divmod(k % self.slots, bs)
+            by_giant.setdefault(g, {})[j] = d
+        babies: dict[int, Ciphertext] = {}
+        for g, js in by_giant.items():
+            for j in js:
+                if j not in babies:
+                    babies[j] = ev.rotate(ct, j)
+        acc = None
+        for g, js in sorted(by_giant.items()):
+            inner = None
+            for j, d in sorted(js.items()):
+                dk = np.roll(np.asarray(d), g * bs)
+                pt = ev.encode(dk, nl=ct.nl, scale=scale)
+                t = ev.mul_plain(babies[j], pt, rescale=False)
+                inner = t if inner is None else ev.add(inner, t)
+            rot = ev.rotate(inner, g * bs) if g else inner
+            acc = rot if acc is None else ev.add(acc, rot)
+        acc = ev.rescale(acc)
+        if double_rescale:
+            acc = ev.rescale(acc)
+            acc.scale = ct.scale        # exact by construction
+        return acc
+
+    @staticmethod
+    def bsgs_required_rotations(offsets, bs: int, slots: int):
+        need = set()
+        for k in offsets:
+            g, j = divmod(k % slots, bs)
+            if j:
+                need.add(j)
+            if g:
+                need.add(g * bs)
+        return need
+
     # -- wrap / unwrap (FHEController.cpp:1060-1162) --------------------
 
     def wrap_up_repeated(self, cts: list[Ciphertext],

@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-_LO16 = jnp.uint32(0xFFFF)
+_LO16 = np.uint32(0xFFFF)
 
 
 def mulhi32(a, b):
@@ -66,8 +66,8 @@ def barrett_params(q: int) -> tuple[int, int, int]:
 def _shift_right_64(hi, lo, s):
     """(hi:lo) >> s for 1 <= s <= 32, elementwise (s may be a u32 array)."""
     s = jnp.asarray(s, U32)
-    lo_part = (lo >> (s - jnp.uint32(1))) >> 1          # two <=31-bit shifts
-    hi_part = hi << ((jnp.uint32(32) - s) & jnp.uint32(31))
+    lo_part = (lo >> (s - np.uint32(1))) >> 1          # two <=31-bit shifts
+    hi_part = hi << ((np.uint32(32) - s) & np.uint32(31))
     return lo_part | hi_part  # s=32: lo_part==0, hi<<0==hi — exact for s in [1,32]
 
 
@@ -78,8 +78,8 @@ def barrett_mulmod(a, b, q, mu, shift):
     shift = jnp.asarray(shift, U32)
     lo = mullo32(a, b)
     hi = mulhi32(a, b)
-    bbits = shift - jnp.uint32(2)              # = bitlen(q)
-    x1 = _shift_right_64(hi, lo, bbits - jnp.uint32(1))   # floor(p / 2^(b-1))
+    bbits = shift - np.uint32(2)              # = bitlen(q)
+    x1 = _shift_right_64(hi, lo, bbits - np.uint32(1))   # floor(p / 2^(b-1))
     t_hi = mulhi32(x1, mu)
     t_lo = mullo32(x1, mu)
     t = _shift_right_64(t_hi, t_lo, shift)     # ~ floor(p/q), err <= 2

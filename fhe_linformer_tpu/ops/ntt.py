@@ -49,6 +49,14 @@ WDIG = 4                # ceil(30 / 8)
 _XMASK = (1 << XDIG_BITS) - 1
 
 
+@functools.lru_cache(maxsize=None)
+def _digit_dtype():
+    """bf16 feeds the TPU MXU at full rate; XLA:CPU's thunk runtime lacks
+    bf16 dot support, so CPU (tests) uses f32 — both are exact for 8x5-bit
+    digit products accumulated below 2**24."""
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+
 def pow_range(base: int, count: int, q: int) -> np.ndarray:
     """[base^0, base^1, ..., base^(count-1)] mod q, vectorized (int64)."""
     exps = np.arange(count, dtype=np.int64)
@@ -79,14 +87,17 @@ def _expand_w(w: np.ndarray, qs: np.ndarray, contract_axis: int) -> jnp.ndarray:
     ex = np.concatenate(scaled, axis=contract_axis)
     for e in range(WDIG):
         planes.append((ex >> (WDIG_BITS * e)) & ((1 << WDIG_BITS) - 1))
-    return jnp.asarray(np.stack(planes).astype(np.float32), jnp.bfloat16)
+    return jnp.asarray(np.stack(planes).astype(np.float32), _digit_dtype())
 
 
 def _x_digits(x, axis: int):
-    """Split u32 x into XDIG 5-bit planes concatenated along `axis` (-1/-2)."""
-    shifts = jnp.asarray(np.arange(XDIG, dtype=np.uint32) * XDIG_BITS
-                         ).reshape((XDIG,) + (1,) * x.ndim)
-    d = ((x[None] >> shifts) & jnp.uint32(_XMASK)).astype(jnp.bfloat16)
+    """Split u32 x into XDIG 5-bit planes concatenated along `axis` (-1/-2).
+    NB: constants stay numpy — trace-time jnp constants force a device
+    round-trip inside MLIR lowering (observed multi-minute stalls on the
+    virtual-multi-device CPU client)."""
+    shifts = (np.arange(XDIG, dtype=np.uint32) * XDIG_BITS
+              ).reshape((XDIG,) + (1,) * x.ndim)
+    d = ((x[None] >> shifts) & np.uint32(_XMASK)).astype(_digit_dtype())
     d = jnp.moveaxis(d, 0, axis - 1 if axis == -1 else -3)
     if axis == -1:
         return d.reshape(*d.shape[:-2], XDIG * x.shape[-1])
@@ -185,6 +196,7 @@ def _mod_matmul(x, w_planes, tbl: LimbTables, side: str):
 
     side='right': out[..,i,k] = sum_j x[..,i,j] * W[j,k]   (contract -1 axis)
     side='left':  out[..,i,k] = sum_j W[i,j] * x[..,j,k]   (contract -2 axis)
+
     """
     out = None
     if side == "right":

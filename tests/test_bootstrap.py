@@ -1,0 +1,72 @@
+"""Homomorphic bootstrapping: refresh a depleted ciphertext and compare
+against the numpy pipeline simulator and the original message.
+
+(EvalBootstrap parity — FHEController.cpp:438-469 — small-ring config:
+budget {2,2}, sine degree 59, 2 double-angles, sparse secret.)"""
+
+import numpy as np
+import pytest
+
+from fhe_linformer_tpu.ckks import CKKSConfig, Context, Evaluator, generate_keys
+from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
+
+CFG = CKKSConfig(n=256, scale_bits=26, num_scaling=28, dnum=4, seed=7,
+                 secret_hw=8)
+
+
+@pytest.fixture(scope="module")
+def boot_setup():
+    ctx = Context(CFG)
+    bs = Bootstrapper.__new__(Bootstrapper)  # need rotations before keys
+    # build transform tables only to ask for required rotations
+    ev_probe = None
+    cfg = BootConfig(level_budget=(2, 2), K=8, sin_degree=119,
+                     double_angles=1)
+    # temporary full init with a keyless evaluator is circular; instead
+    # construct the Bootstrapper after keygen using its static rotation set
+    tmp = object.__new__(Bootstrapper)
+    tmp.cfg = cfg
+    from fhe_linformer_tpu.boot.transform import (
+        special_fft_stages, special_ifft_stages, group_stages, diagonals_of)
+    import math
+    P, fwd = special_fft_stages(CFG.n)
+    tmp.M = CFG.slots
+    tmp.cts_diags = [diagonals_of(g) for g in
+                     group_stages(special_ifft_stages(CFG.n), 2)]
+    tmp.stc_diags = [diagonals_of(g) for g in group_stages([P] + fwd, 2)]
+    maxd = max(len(d) for d in tmp.cts_diags + tmp.stc_diags)
+    tmp.bs = 1 << max(1, int(math.ceil(math.log2(max(2, maxd)) / 2)))
+    rots = Bootstrapper.required_rotations(tmp)
+    keys = generate_keys(ctx, rotations=rots, conj=True)
+    ev = Evaluator(ctx, keys)
+    booter = Bootstrapper(ev, cfg)
+    assert booter.bs == tmp.bs
+    return ev, booter
+
+
+def test_bootstrap_refreshes(boot_setup):
+    ev, booter = boot_setup
+    rng = np.random.default_rng(3)
+    m = rng.uniform(-0.9, 0.9, CFG.slots)
+    ct = ev.encrypt(m)
+    low = ev.drop_to(ct, 1)              # depleted ciphertext
+    out = booter.bootstrap(low)
+    assert out.nl >= 4, f"no usable levels left after boot: nl={out.nl}"
+    got = np.asarray(ev.decrypt(out))
+    np.testing.assert_allclose(np.real(got), m, atol=2e-2)
+    # precision report in the reference's log2-inf-norm style
+    from fhe_linformer_tpu.utils.timing import approx_error_log2
+    prec = approx_error_log2(m, np.real(got))
+    assert prec > 5.5, f"bootstrap precision too low: {prec} bits"
+
+
+def test_bootstrap_then_compute(boot_setup):
+    """Refreshed ciphertexts must keep computing (the whole point)."""
+    ev, booter = boot_setup
+    rng = np.random.default_rng(4)
+    m = rng.uniform(-0.9, 0.9, CFG.slots)
+    ct = ev.drop_to(ev.encrypt(m), 1)
+    out = booter.bootstrap(ct)
+    sq = ev.mul(out, out)
+    got = np.real(np.asarray(ev.decrypt(sq)))
+    np.testing.assert_allclose(got, m * m, atol=4e-2)

@@ -1,0 +1,27 @@
+"""Multi-chip sharding validation on a virtual 8-device CPU mesh.
+
+Runs in a subprocess because xla_force_host_platform_device_count must be
+set before jax initializes (and slows every other test's compiles)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_8():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8")
+    env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+    env.pop("PJRT_LIBRARY_PATH", None)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/fhe_tpu_jax_cache_mesh"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "dryrun_multichip OK" in r.stdout
