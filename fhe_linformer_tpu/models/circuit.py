@@ -254,21 +254,85 @@ class EncryptedLinformer:
         mask[ncls * ops.d:] = 0.0
         return ev.mul_plain(out, ev.encode(mask, nl=out.nl))
 
-    # -- full forward ---------------------------------------------------
+    # -- homomorphic E/F projection (multi-layer support) ---------------
 
-    def forward(self, emb: np.ndarray, cls_only: bool = False) -> Ciphertext:
-        x_cts, xe, xf, S_total = self.encrypt_inputs(emb)
+    def ef_project(self, x_cts: Ciphertext, E: np.ndarray, b: np.ndarray,
+                   S_total: int) -> Ciphertext:
+        """XE_r = sum_t E[r, t] * x_t + b_r computed *homomorphically* —
+        required for layers >= 2, where the sequence compression can no
+        longer run client-side (the reference is single-layer and never
+        needs this; dimReduce.py:148-156 does it in plaintext)."""
+        ev, ops = self.ev, self.ops
+        wrapped = self.wrap_tokens(x_cts)        # (chunks, ...) lane=token
+        k_lin = E.shape[0]
+        m = min(ops.d, S_total)
+        rows = []
+        for r in range(k_lin):
+            acc = None
+            for c in range(wrapped.c0.shape[0]):
+                one = wrapped.with_data(wrapped.c0[c], wrapped.c1[c])
+                coefs = np.zeros(ops.slots)
+                nt = min(m, S_total - c * m)
+                for t in range(nt):
+                    coefs[t::ops.d] = E[r, c * m + t]
+                pt = ev.encode(coefs, nl=one.nl)
+                term = ev.mul_plain(one, pt, rescale=False)
+                acc = term if acc is None else ev.add(acc, term)
+            acc = ev.rescale(acc)
+            mp = 1 << (m - 1).bit_length()       # lanes >= m hold zeros
+            row = ops.rotsum(acc, mp, 1)         # lane 0 of block j = XE_r[j]
+            rows.append(row)
+        out = _stack(rows)                       # (k_lin, ...) expanded-dirty
+        # clean to full expanded: mask lane 0 + repeat
+        pt = ev.encode(ops.mask_mod_n(ops.d), nl=out.nl)
+        out = ev.mul_plain(out, pt)
+        out = ops.repeat(out, ops.d, 1)
+        # bias: b_r adds to every dim of row r (dimReduce adds E_b per row)
+        bias = np.stack([np.full(ops.slots, float(bb)) for bb in b])
+        pt_b = ev.encode(bias, nl=out.nl, scale=out.scale, batch=True)
+        return ev.add_plain(out, pt_b)
+
+    def encoder_layer(self, x_cts, xe, xf, S_total, w=None,
+                      cls_only=False, boot=None):
+        """One full encoder layer: attention + affine1 + FFN + affine2.
+        Returns per-token expanded cts.  `boot` (a boot.Bootstrapper) is
+        applied at the reference's refresh points (main_2.cpp:274-275,318)."""
+        w = w or self.w
         attn = self.attention(x_cts, xe, xf, S_total, cls_only)
         wrapped = self.wrap_tokens(attn)
-        wrapped = self.affine(wrapped, self.w.a1, self.w.b1, self.w.c1, S_total)
+        wrapped = self.affine(wrapped, w.a1, w.b1, w.c1, S_total)
+        if boot is not None:
+            wrapped = boot.bootstrap(wrapped)
         x2 = self.unwrap_tokens(wrapped, S_total)
         y = self.ffn(x2)
         x2m, ym = self.ev.match(x2, y)
         res = self.ev.add(x2m, ym)
         wrapped2 = self.wrap_tokens(res)
-        wrapped2 = self.affine(wrapped2, self.w.a2, self.w.b2, self.w.c2, S_total)
-        x3 = self.unwrap_tokens(wrapped2, S_total)
-        cls_ct = x3.with_data(x3.c0[0], x3.c1[0])
+        wrapped2 = self.affine(wrapped2, w.a2, w.b2, w.c2, S_total)
+        if boot is not None:
+            wrapped2 = boot.bootstrap(wrapped2)
+        return self.unwrap_tokens(wrapped2, S_total)
+
+    # -- full forward ---------------------------------------------------
+
+    def forward(self, emb: np.ndarray, cls_only: bool = False,
+                extra_layers: list | None = None, boot=None) -> Ciphertext:
+        """End-to-end encrypted forward.  extra_layers: LinformerWeights
+        for layers 2..N — their K/V compression runs homomorphically via
+        ef_project (config-5 multi-layer path)."""
+        x_cts, xe, xf, S_total = self.encrypt_inputs(emb)
+        x = self.encoder_layer(x_cts, xe, xf, S_total, cls_only=cls_only,
+                               boot=boot)
+        for lw in (extra_layers or []):
+            xe2 = self.ef_project(x, lw.E_w[:, :S_total], lw.E_b, S_total)
+            xf2 = self.ef_project(x, lw.F_w[:, :S_total], lw.F_b, S_total)
+            saved = self.w
+            self.w = lw
+            try:
+                x = self.encoder_layer(x, xe2, xf2, S_total, boot=boot)
+            finally:
+                self.w = saved
+        cls_ct = x.with_data(x.c0[0], x.c1[0])
         return self.pooler_classifier(cls_ct)
 
     def decrypt_logits(self, out: Ciphertext) -> np.ndarray:

@@ -63,15 +63,19 @@ class Gadgets:
 
     def eval_gelu(self, ct: Ciphertext, a: float, b: float, mult: float,
                   degree: int = 119) -> Ciphertext:
+        """GELU of the *unscaled* input: the ciphertext arrives pre-scaled
+        by `mult` (weights encoded with the clip factor) and the gadget
+        evaluates gelu(x/mult) — reference convention, cpp:1330-1332."""
         def gelu(x):
-            xp = x * mult
+            xp = x / mult
             return 0.5 * xp * (1.0 + _erf(xp / math.sqrt(2.0)))
         return self.poly.eval_chebyshev_function(gelu, ct, a, b, degree)
 
     def eval_tanh(self, ct: Ciphertext, a: float, b: float, mult: float,
                   degree: int = 300) -> Ciphertext:
+        """tanh(x/mult) on a mult-pre-scaled input (cpp:1334-1336)."""
         return self.poly.eval_chebyshev_function(
-            lambda x: np.tanh(x * mult), ct, a, b, degree)
+            lambda x: np.tanh(x / mult), ct, a, b, degree)
 
     def relu(self, ct: Ciphertext, scale: float = 1.0,
              degree: int = 119) -> Ciphertext:

@@ -97,6 +97,21 @@ def test_ffn_stage(setup):
     np.testing.assert_allclose(got, want, atol=0.02)
 
 
+def test_ef_project_stage(setup):
+    """Homomorphic Linformer E/F compression (multi-layer path)."""
+    ev, w, emb, inter = setup
+    circ = _circ(ev, w, inter)
+    rng = np.random.default_rng(8)
+    X = rng.normal(0, 0.5, (S, D))
+    cts = _enc_expanded(circ, X)
+    E = rng.normal(0, 0.4, (KLIN, S))
+    b = rng.normal(0, 0.2, KLIN)
+    out = circ.ef_project(cts, E, b, S)
+    got = _lane0(circ, out, KLIN, D)
+    want = E @ X + b[:, None]
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
 def test_pooler_classifier_stage(setup):
     ev, w, emb, inter = setup
     circ = _circ(ev, w, inter)

@@ -55,7 +55,7 @@ def test_eval_tanh(ev):
     z = rng.uniform(-1, 1, CFG.slots)
     ct = ev.encrypt(z)
     g = Gadgets(ev)
-    out = g.eval_tanh(ct, -1.0, 1.0, mult=3.0, degree=59)
+    out = g.eval_tanh(ct, -1.0, 1.0, mult=1 / 3.0, degree=59)
     np.testing.assert_allclose(np.real(ev.decrypt(out)), np.tanh(3.0 * z),
                                atol=2e-2)
 
