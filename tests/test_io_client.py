@@ -1,0 +1,126 @@
+"""IO (serialization/weights) and client-pipeline tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fhe_linformer_tpu.ckks import CKKSConfig, Context, Evaluator, generate_keys
+from fhe_linformer_tpu.io import serialize as ser
+from fhe_linformer_tpu.io.weights import (load_reference_weights,
+                                          save_reference_weights, read_values)
+from fhe_linformer_tpu.models import golden
+from fhe_linformer_tpu.client import pipeline, datasets
+from fhe_linformer_tpu.client.tokenizer import Tokenizer
+
+CFG = CKKSConfig(n=256, scale_bits=26, num_scaling=4, dnum=2, seed=55)
+
+
+@pytest.fixture(scope="module")
+def ev():
+    ctx = Context(CFG)
+    return Evaluator(ctx, generate_keys(ctx, rotations=(1,)))
+
+
+def test_ciphertext_checkpoint_roundtrip(ev, tmp_path):
+    """save/load ciphertext (FHEController.cpp:1360-1394 parity) —
+    the encoder-output resume path of main.cpp:92-107."""
+    z = np.linspace(-1, 1, CFG.slots)
+    ct = ev.encrypt(z)
+    p = str(tmp_path / "ck.bin")
+    ser.save_ciphertext(p, ct)
+    back = ser.load_ciphertext(p)
+    assert back.nl == ct.nl and back.scale == ct.scale
+    np.testing.assert_allclose(np.real(ev.decrypt(back)), z, atol=2e-4)
+
+
+def test_keystore_roundtrip(ev, tmp_path):
+    d = str(tmp_path / "keys")
+    ser.save_keys(d, ev.keys, include_secret=True)
+    back = ser.load_keys(d)
+    ev2 = Evaluator(ev.ctx, back)
+    z = np.linspace(-0.5, 0.5, CFG.slots)
+    ct = ev2.encrypt(z)
+    out = ev2.rotate(ct, 1)
+    np.testing.assert_allclose(np.real(ev2.decrypt(out)),
+                               np.roll(z, -1), atol=1e-3)
+
+
+def test_reference_weight_format_roundtrip(tmp_path):
+    w = golden.random_weights(d=8, k_lin=4, d_ffn=32, n_classes=5,
+                              max_seq=12, seed=9)
+    d = str(tmp_path / "weights-20NG")
+    save_reference_weights(d, w)
+    back = load_reference_weights(d, d=8, k_lin=4, d_ffn=32, n_classes=5,
+                                  max_seq=12)
+    np.testing.assert_allclose(back.WQ, w.WQ)
+    np.testing.assert_allclose(back.c1, w.c1)
+    np.testing.assert_allclose(back.Wc, w.Wc)
+
+
+def test_native_csv_reader_matches(tmp_path):
+    from fhe_linformer_tpu.io.native import read_floats
+    p = str(tmp_path / "vals.txt")
+    vals = np.random.default_rng(0).normal(size=100)
+    np.savetxt(p, vals)
+    np.testing.assert_allclose(read_floats(p), vals)
+    np.testing.assert_allclose(read_values(p), vals)
+
+
+def test_client_file_pipeline(tmp_path):
+    """extractEmbeddings + dimReduce file contracts."""
+    w = golden.random_weights(d=8, k_lin=4, d_ffn=32, n_classes=5,
+                              max_seq=12, seed=1)
+    emb = np.random.default_rng(2).normal(0, 0.3, (5, 8))
+    d1 = str(tmp_path / "tmp_embeddings" / "test_0")
+    pipeline.export_sample_embeddings(d1, emb)
+    back = pipeline.load_sample_embeddings(d1)
+    np.testing.assert_allclose(back, emb)
+    d2 = str(tmp_path / "input")
+    x_in, X_E, X_F = pipeline.project_ef(d2, w, emb)
+    xe0 = np.loadtxt(os.path.join(d2, "XE_0.txt"))
+    np.testing.assert_allclose(xe0, X_E[0])
+    cls, p = pipeline.softmax_argmax(np.asarray([1.0, 3.0, 2.0]))
+    assert cls == 1 and abs(p.sum() - 1) < 1e-12
+
+
+def test_tokenizer_and_embeddings(tmp_path):
+    ds = datasets.synthetic(n_train=24, n_test=8, n_classes=3, seq_len=12)
+    tok = Tokenizer(ds.train_texts, ds.train_labels, seq_max_len=16,
+                    cache_dir=str(tmp_path / "cache"))
+    assert tok.vocab_size > 10
+    ids = tok.encode(["alpha", "beta", "zzz_unknown"], pad=True)
+    assert ids.shape == (16,) and ids[2] == 0  # UNK
+    mat = tok.embedding_matrix("skipgram", 16, "TEST", epochs=1)
+    assert mat.shape == (tok.vocab_size, 16)
+    # cached second call
+    mat2 = tok.embedding_matrix("skipgram", 16, "TEST")
+    np.testing.assert_array_equal(mat, mat2)
+
+
+def test_glove_and_fasttext_trainers(tmp_path):
+    ds = datasets.synthetic(n_train=12, n_test=4, n_classes=2, seq_len=10)
+    tok = Tokenizer(ds.train_texts, ds.train_labels, seq_max_len=12,
+                    cache_dir=str(tmp_path / "cache"))
+    g = tok.embedding_matrix("glove", 8, "G", epochs=1)
+    f = tok.embedding_matrix("fasttext", 8, "F", epochs=1)
+    assert g.shape == f.shape == (tok.vocab_size, 8)
+    assert np.isfinite(g).all() and np.isfinite(f).all()
+
+
+def test_golden_eval_harness():
+    """Batch accuracy eval over a synthetic corpus (the
+    compute_20ng_linformer_forward --eval_root mode, :230-264)."""
+    ds = datasets.synthetic(n_train=8, n_test=6, n_classes=3, seq_len=10)
+    tok = Tokenizer(ds.train_texts + ds.test_texts,
+                    ds.train_labels + ds.test_labels, seq_max_len=12)
+    w = golden.random_weights(d=8, k_lin=4, d_ffn=32, n_classes=3,
+                              max_seq=12, seed=4)
+    rngmat = np.random.default_rng(5).normal(0, 0.3, (tok.vocab_size, 8))
+    correct = 0
+    for text, label in zip(ds.test_texts, ds.test_labels):
+        ids = tok.encode(tok.token_lists[0], pad=False)[:6]
+        emb = rngmat[ids]
+        p = golden.forward(w, emb)
+        correct += int(np.argmax(p) == tok.label2id[label])
+    assert 0 <= correct <= len(ds.test_texts)
