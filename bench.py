@@ -37,6 +37,8 @@ def time_op(fn, *args, iters=10):
 
 def _block(x):
     import jax
+    if hasattr(x, "c0"):
+        x = (x.c0, x.c1)
     for leaf in jax.tree_util.tree_leaves(x):
         leaf.block_until_ready()
 

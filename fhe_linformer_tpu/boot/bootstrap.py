@@ -129,10 +129,28 @@ class Bootstrapper:
                                               double_rescale=True)
         return ct
 
+    def _folded(self, which: str, gi: int, mult: complex):
+        """Folded diagonal dicts cached by (which, gi, mult) so the BSGS
+        plaintext-encode cache (keyed by dict identity) stays hot across
+        bootstrap calls."""
+        if not hasattr(self, "_fold_cache"):
+            self._fold_cache = {}
+        key = (which, gi, mult)
+        if key not in self._fold_cache:
+            src = self.cts_diags if which == "cts" else self.stc_diags
+            dg = src[gi]
+            self._fold_cache[key] = dg if mult == 1.0 else \
+                {k: d * mult for k, d in dg.items()}
+        return self._fold_cache[key]
+
     def coeffs_to_slots(self, ct: Ciphertext) -> Ciphertext:
         alpha = ct.scale / self.q0
-        return self._apply_groups(ct, self.cts_diags,
-                                  {len(self.cts_diags) - 1: alpha})
+        last = len(self.cts_diags) - 1
+        for gi in range(len(self.cts_diags)):
+            dg = self._folded("cts", gi, alpha if gi == last else 1.0)
+            ct = self.ops.bsgs_diag_transform(ct, dg, self.bs,
+                                              double_rescale=True)
+        return ct
 
     def slots_to_coeffs(self, ct_r: Ciphertext, ct_i: Ciphertext,
                         s_in: float) -> Ciphertext:
@@ -143,16 +161,16 @@ class Bootstrapper:
         message."""
         ev = self.ev
         beta = self.q0 / (2 * math.pi * s_in)
-        g0 = {k: d * beta for k, d in self.stc_diags[0].items()}
-        g0i = {k: d * 1j for k, d in g0.items()}
+        g0 = self._folded("stc", 0, beta)
+        g0i = self._folded("stc", 0, beta * 1j)
         a = self.ops.bsgs_diag_transform(ct_r, g0, self.bs,
                                          double_rescale=True)
         b = self.ops.bsgs_diag_transform(ct_i, g0i, self.bs,
                                          double_rescale=True)
         ct = ev.add(a, b)
-        for dg in self.stc_diags[1:]:
-            ct = self.ops.bsgs_diag_transform(ct, dg, self.bs,
-                                              double_rescale=True)
+        for gi in range(1, len(self.stc_diags)):
+            ct = self.ops.bsgs_diag_transform(ct, self._folded("stc", gi, 1.0),
+                                              self.bs, double_rescale=True)
         return ct
 
     def eval_mod(self, ct: Ciphertext, pre_factor: complex) -> Ciphertext:

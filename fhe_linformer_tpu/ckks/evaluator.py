@@ -41,6 +41,17 @@ class Evaluator:
         self.keys = keys
         self.encoder = Encoder(ctx.cfg.n)
         self._enc_rng = np.random.default_rng(ctx.cfg.seed ^ 0x5EED)
+        self._enc_cache: dict = {}
+
+    def encode_cached(self, key, values, nl: int | None = None,
+                      scale: float | None = None) -> Plaintext:
+        """encode() memoized by a caller-supplied stable key — plaintext
+        masks/weights/diagonals are hot-path constants; re-encoding them
+        per call costs a host FFT + device NTT each time."""
+        k = (key, nl, scale)
+        if k not in self._enc_cache:
+            self._enc_cache[k] = self.encode(values, nl=nl, scale=scale)
+        return self._enc_cache[k]
 
     # ------------------------------------------------------------------
     # encode / encrypt / decrypt / decode

@@ -235,7 +235,8 @@ class PackedOps:
         unwrapExpanded, cpp:1086-1100, batched)."""
         ev = self.ev
         batch = self.deinterleave_batch(ct, m, 1)
-        pt = ev.encode(self.mask_mod_n(self.d), nl=batch.nl)
+        pt = ev.encode_cached(("mask_mod_n", self.d, 0),
+                              self.mask_mod_n(self.d), nl=batch.nl)
         masked = ev.mul_plain(batch, pt)
         return self.repeat(masked, self.d, 1)
 
@@ -274,7 +275,8 @@ class PackedOps:
             inner = None
             for j, d in sorted(js.items()):
                 dk = np.roll(np.asarray(d), g * bs)
-                pt = ev.encode(dk, nl=ct.nl, scale=scale)
+                key = (id(diags), g, j)
+                pt = ev.encode_cached(key, dk, nl=ct.nl, scale=scale)
                 t = ev.mul_plain(babies[j], pt, rescale=False)
                 inner = t if inner is None else ev.add(inner, t)
             rot = ev.rotate(inner, g * bs) if g else inner

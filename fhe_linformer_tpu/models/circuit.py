@@ -120,7 +120,8 @@ class EncryptedLinformer:
             sc = ops.rotsum(prod, d, 1)             # dot at lane 0 per block
             mval = p.r / 8.0 if p.exp_pow8 else p.r
             mask = ops.mask_mod_n(d, value=mval)
-            sc = ev.mul_plain(sc, ev.encode(mask, nl=sc.nl))
+            sc = ev.mul_plain(sc, ev.encode_cached(
+                ("score_mask", d, mval), mask, nl=sc.nl))
             sc = ops.interleave_batch(sc, stride=1)  # lanes = queries
             chunks.append(sc)
         scores = _stack(chunks)                      # (nchunk, ...) batch
@@ -160,7 +161,8 @@ class EncryptedLinformer:
         """(k, ...) repeated batch -> one ct, block j = row j: mask block 0
         then interleave with stride d (log-tree; wrapUpRepeated parity)."""
         ev, ops = self.ev, self.ops
-        pt = ev.encode(ops.mask_block(0), nl=rows.nl)
+        pt = ev.encode_cached(("mask_block0", ops.d), ops.mask_block(0),
+                              nl=rows.nl)
         masked = ev.mul_plain(rows, pt)
         return ops.interleave_batch(masked, stride=ops.d)
 
@@ -180,7 +182,8 @@ class EncryptedLinformer:
         ev, ops = self.ev, self.ops
         S = dirty.c0.shape[0]
         m = min(ops.d, S)
-        pt = ev.encode(ops.mask_mod_n(ops.d), nl=dirty.nl)
+        pt = ev.encode_cached(("mask_mod_n", ops.d, 0),
+                              ops.mask_mod_n(ops.d), nl=dirty.nl)
         masked = ev.mul_plain(dirty, pt)
         outs = []
         for c in range(-(-S // m)):
@@ -199,29 +202,81 @@ class EncryptedLinformer:
             mq = min(ops.d, left)
             ev = self.ev
             batch = ops.deinterleave_batch(one, mq, 1)
-            pt = ev.encode(ops.mask_mod_n(ops.d), nl=batch.nl)
+            pt = ev.encode_cached(("mask_mod_n", ops.d, 0),
+                                  ops.mask_mod_n(ops.d), nl=batch.nl)
             masked = ev.mul_plain(batch, pt)
             outs.append(ops.repeat(masked, ops.d, 1))  # expanded per token
             left -= mq
         return _stack_cat(outs)
 
-    def ffn(self, x_cts: Ciphertext) -> Ciphertext:
+    def ffn(self, x_cts: Ciphertext, use_containers: bool = True) -> Ciphertext:
         """FFN up (d->d_ffn in d-blocks) + GELU + down (d_ffn->d).
-        x_cts: (S, ...) expanded.  Returns (S, ...) expanded-dirty."""
+        x_cts: (S, ...) expanded.  Returns (S, ...) expanded-dirty.
+
+        With use_containers the (nblk*S) FFN activations pack into
+        ceil(nblk*S*d/slots) container ciphertexts before GELU — the
+        reference's 32-token/512-wide containers
+        (FHEController.cpp:1164-1205), built here with the batched log-tree
+        instead of per-token rotate chains.  The deg-119 Chebyshev then
+        touches ~d/nblk times fewer ciphertexts."""
         ev, ops, w, p = self.ev, self.ops, self.w, self.p
         d, nb = ops.d, ops.nb
         nblk = w.W1.shape[0] // d
-        # up-projection: batch over (S, nblk)
+        import jax.numpy as jnp
+        # up-projection: batch over (nblk, S)
         ups = []
         for bkt in range(nblk):
             Wb = w.W1[bkt * d:(bkt + 1) * d]
             Bb = w.B1[bkt * d:(bkt + 1) * d]
             ups.append(self._matmul_re_w(x_cts, Wb, Bb, f"W1_{bkt}",
                                          w_scale=p.gelu_clip))
-        h = _stack(ups)
-        # h: (nblk, S, ...) repeated — GELU batched over everything
-        h = self.g.eval_gelu(h, -1.0, 1.0, mult=p.gelu_clip,
-                             degree=p.gelu_degree)
+        h = _stack(ups)                        # (nblk, S, ...) repeated
+        S = h.c0.shape[1]
+
+        G = ops.slots // d                     # pieces per container
+        if use_containers and nblk * S > G:
+            # flatten to (S*nblk) in container order: piece j = u*nblk + b
+            c0 = jnp.swapaxes(h.c0, 0, 1).reshape((S * nblk,) + h.c0.shape[2:])
+            c1 = jnp.swapaxes(h.c1, 0, 1).reshape((S * nblk,) + h.c1.shape[2:])
+            flat = h.with_data(c0, c1)
+            ncont = -(-S * nblk // G)
+            pad = ncont * G - S * nblk
+            if pad:
+                z = jnp.zeros((pad,) + c0.shape[1:], c0.dtype)
+                flat = flat.with_data(jnp.concatenate([c0, z]),
+                                      jnp.concatenate([c1, z]))
+            pt = ev.encode_cached(("mask_block0", ops.d),
+                                  ops.mask_block(0), nl=flat.nl)
+            masked = ev.mul_plain(flat, pt)
+            groups = masked.with_data(
+                masked.c0.reshape((ncont, G) + masked.c0.shape[1:]),
+                masked.c1.reshape((ncont, G) + masked.c1.shape[1:]))
+            # merge the G axis into block offsets: log-tree over axis 1
+            conts = []
+            for c in range(ncont):
+                one = groups.with_data(groups.c0[c], groups.c1[c])
+                conts.append(ops.interleave_batch(one, stride=d))
+            packed = _stack(conts)             # (ncont, ...) containers
+            packed = self.g.eval_gelu(packed, -1.0, 1.0, mult=p.gelu_clip,
+                                      degree=p.gelu_degree)
+            # unpack: batch j of container c = piece c*G + j
+            outs = []
+            for c in range(packed.c0.shape[0]):
+                one = packed.with_data(packed.c0[c], packed.c1[c])
+                batch = ops.deinterleave_batch(one, G, stride=d)
+                outs.append(batch)
+            flat2 = _stack_cat(outs)
+            flat2 = flat2.with_data(flat2.c0[: S * nblk], flat2.c1[: S * nblk])
+            pt2 = ev.encode_cached(("mask_block0", ops.d),
+                                   ops.mask_block(0), nl=flat2.nl)
+            rep = ev.mul_plain(flat2, pt2)
+            rep = ops.repeat(rep, nb, d)       # back to repeated layout
+            h = rep.with_data(
+                jnp.swapaxes(rep.c0.reshape((S, nblk) + rep.c0.shape[1:]), 0, 1),
+                jnp.swapaxes(rep.c1.reshape((S, nblk) + rep.c1.shape[1:]), 0, 1))
+        else:
+            h = self.g.eval_gelu(h, -1.0, 1.0, mult=p.gelu_clip,
+                                 degree=p.gelu_degree)
         # down-projection: sum_b W2[:, b-block] @ h_b  (CR layout per block)
         acc = None
         for bkt in range(nblk):
