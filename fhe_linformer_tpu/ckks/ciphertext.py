@@ -38,6 +38,6 @@ class Ciphertext:
 @dataclass
 class Plaintext:
     data: jnp.ndarray        # (..., nl, N) u32, eval domain
-    shoup: jnp.ndarray       # precomputed for ct-pt mult
+    shoup: jnp.ndarray | None  # optional Shoup precompute (consts only)
     nl: int
     scale: float

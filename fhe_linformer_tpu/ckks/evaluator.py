@@ -68,14 +68,22 @@ class Evaluator:
         coeffs = np.stack([self.encoder.encode(v, scale) for v in vals])
         limbs = ctx.limb_idx(nl)
         qs = [ctx.basis[i] for i in limbs]
-        res = rns_residues(coeffs, qs)
-        data = ctx.ntt.fwd(jnp.asarray(res), limbs)
-        data_np = np.asarray(data).astype(np.int64)
-        qcol = np.asarray(qs, np.int64)[:, None]
-        shoup = jnp.asarray(ma.shoup_precompute(data_np, qcol))
+        if np.abs(coeffs).max() < (1 << 31):
+            # device-side RNS spread: ship int32 coeffs (1/L of the residue
+            # volume — host->device bandwidth is the encrypt bottleneck on
+            # tunneled devices) and reduce mod each prime on device.
+            res = _rns_spread_i32(jnp.asarray(coeffs.astype(np.int32)),
+                                  *ctx.mod_consts(limbs))
+        else:
+            res = jnp.asarray(rns_residues(coeffs, qs))
+        data = ctx.ntt.fwd(res, limbs)
         if not batch:
-            data, shoup = data[0], shoup[0]
-        return Plaintext(data, shoup, nl, scale)
+            data = data[0]
+        # ct x pt multiplies use Barrett (no Shoup precompute): computing
+        # w' = floor(w*2^32/q) exactly requires a host round-trip of the
+        # full eval-domain plaintext — 2x ciphertext-sized transfers that
+        # dominated encode on tunneled devices.
+        return Plaintext(data, None, nl, scale)
 
     def encode_const(self, c: float, nl: int | None = None,
                      scale: float | None = None) -> Plaintext:
@@ -108,6 +116,39 @@ class Evaluator:
         out.scale = scale  # exact by construction; avoid float drift
         return out
 
+    # -- batch canonicalization / chunking -----------------------------
+    # Key-switch composites materialize ~12x the ciphertext volume in
+    # intermediates (digit stacks, NTT digit planes); at N=2^15 a few
+    # hundred batched cts would blow past HBM (and the TPU compiler).
+    # Heavy ops therefore flatten leading batch dims to one axis (fewer
+    # distinct compile shapes) and process fixed-size chunks.
+
+    def _heavy_chunk(self, nl: int) -> int:
+        per_ct = nl * self.ctx.cfg.n * 4 * 16   # bytes with overhead factor
+        return max(1, (1 << 31) // per_ct)
+
+    def _chunked(self, ct: Ciphertext, f) -> Ciphertext:
+        bshape = ct.c0.shape[:-2]
+        tail = ct.c0.shape[-2:]
+        if not bshape:
+            return f(ct)
+        flat0 = ct.c0.reshape((-1,) + tail)
+        flat1 = ct.c1.reshape((-1,) + tail)
+        B = flat0.shape[0]
+        chunk = self._heavy_chunk(ct.nl)
+        if B <= chunk and len(bshape) == 1:
+            return f(ct)
+        outs = []
+        for s in range(0, B, chunk):
+            part = ct.with_data(flat0[s: s + chunk], flat1[s: s + chunk])
+            outs.append(f(part))
+        o0 = jnp.concatenate([o.c0 for o in outs])
+        o1 = jnp.concatenate([o.c1 for o in outs])
+        last = outs[-1]
+        o0 = o0.reshape(bshape + o0.shape[-2:])
+        o1 = o1.reshape(bshape + o1.shape[-2:])
+        return Ciphertext(o0, o1, last.nl, last.scale)
+
     def match(self, a: Ciphertext, b: Ciphertext):
         """Bring two ciphertexts to a common exact (nl, scale) pair,
         spending at most one level on whichever branches need it."""
@@ -133,15 +174,21 @@ class Evaluator:
         consts = ctx.mod_consts(limbs)
         n = ctx.cfg.n
         bshape = pt.data.shape[:-2]
-        kg = KeyGenerator(ctx)
-        kg.rng = self._enc_rng
-        v = kg.rng.integers(-1, 2, (*bshape, n)).astype(np.int64)
-        e0 = kg.gauss((*bshape, n))
-        e1 = kg.gauss((*bshape, n))
-        qs = [ctx.basis[i] for i in limbs]
-        v_e = ctx.ntt.fwd(jnp.asarray(rns_residues(v, qs)), limbs)
-        e0_e = ctx.ntt.fwd(jnp.asarray(rns_residues(e0, qs)), limbs)
-        e1_e = ctx.ntt.fwd(jnp.asarray(rns_residues(e1, qs)), limbs)
+        # encryption randomness sampled ON DEVICE (jax threefry, seeded
+        # deterministically) — host sampling + residue upload was the
+        # encrypt bottleneck for large token batches on tunneled devices
+        import jax
+        seed = int(self._enc_rng.integers(0, 2 ** 31))
+        kv, k0, k1 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        sigma = float(ctx.cfg.sigma)
+        v = jax.random.randint(kv, (*bshape, n), 0, 3, dtype=jnp.int32) - 1
+        e0 = jnp.rint(sigma * jax.random.normal(k0, (*bshape, n))
+                      ).astype(jnp.int32)
+        e1 = jnp.rint(sigma * jax.random.normal(k1, (*bshape, n))
+                      ).astype(jnp.int32)
+        v_e = ctx.ntt.fwd(_rns_spread_i32(v, *consts), limbs)
+        e0_e = ctx.ntt.fwd(_rns_spread_i32(e0, *consts), limbs)
+        e1_e = ctx.ntt.fwd(_rns_spread_i32(e1, *consts), limbs)
         p0 = self.keys.pk.p0[:nl]
         p1 = self.keys.pk.p1[:nl]
         c0, c1 = _encrypt_core(p0, p1, v_e, e0_e, e1_e, pt.data, *consts)
@@ -231,13 +278,17 @@ class Evaluator:
         if pt.nl == nl:
             return pt
         assert nl < pt.nl
-        return Plaintext(pt.data[..., :nl, :], pt.shoup[..., :nl, :], nl, pt.scale)
+        sh = None if pt.shoup is None else pt.shoup[..., :nl, :]
+        return Plaintext(pt.data[..., :nl, :], sh, nl, pt.scale)
 
     def mul_plain(self, ct: Ciphertext, pt: Plaintext,
                   rescale: bool = True) -> Ciphertext:
         pt = self._pt_to(pt, ct.nl)
-        q = self.ctx.mod_consts(self.ctx.limb_idx(ct.nl))[0]
-        c0, c1 = _mul_plain_core(ct.c0, ct.c1, pt.data, pt.shoup, q)
+        q, mu, sh = self.ctx.mod_consts(self.ctx.limb_idx(ct.nl))
+        if pt.shoup is not None:
+            c0, c1 = _mul_plain_core(ct.c0, ct.c1, pt.data, pt.shoup, q)
+        else:
+            c0, c1 = _mul_plain_barrett(ct.c0, ct.c1, pt.data, q, mu, sh)
         out = ct.with_data(c0, c1, scale=ct.scale * pt.scale)
         return self.rescale(out) if rescale else out
 
@@ -271,9 +322,12 @@ class Evaluator:
         nl = ct.nl
         assert nl >= 2, "no scaling limb left to drop"
         plan = ctx.rescale_tables(nl)
-        c0, c1 = _rescale_core(ct.c0, ct.c1, plan)
-        return ct.with_data(c0, c1, nl=nl - 1,
-                            scale=ct.scale / float(ctx.qs[nl - 1]))
+
+        def f(part):
+            c0, c1 = _rescale_core(part.c0, part.c1, plan)
+            return part.with_data(c0, c1, nl=nl - 1,
+                                  scale=ct.scale / float(ctx.qs[nl - 1]))
+        return self._chunked(ct, f)
 
     def _sliced_key(self, key: KSKey, nl: int):
         cache = getattr(key, "_slices", None)
@@ -291,7 +345,28 @@ class Evaluator:
         nl = a.nl
         ks = self.ctx.ks_tables(nl)
         kb, ka = self._sliced_key(self.keys.relin, nl)
-        c0, c1 = _mul_relin_core(a.c0, a.c1, b.c0, b.c1, kb, ka, ks)
+        bshape = a.c0.shape[:-2]
+        tail = a.c0.shape[-2:]
+        chunk = self._heavy_chunk(nl)
+        same = a.c0.shape == b.c0.shape
+        B = int(np.prod(bshape)) if bshape else 1
+        if bshape and (B > chunk or len(bshape) > 1):
+            a0 = a.c0.reshape((-1,) + tail)
+            a1 = a.c1.reshape((-1,) + tail)
+            b0 = b.c0.reshape((-1,) + tail) if same else b.c0
+            b1 = b.c1.reshape((-1,) + tail) if same else b.c1
+            o0s, o1s = [], []
+            for s in range(0, B, chunk):
+                pb0 = b0[s: s + chunk] if same else b0
+                pb1 = b1[s: s + chunk] if same else b1
+                c0, c1 = _mul_relin_core(a0[s: s + chunk], a1[s: s + chunk],
+                                         pb0, pb1, kb, ka, ks)
+                o0s.append(c0)
+                o1s.append(c1)
+            c0 = jnp.concatenate(o0s).reshape(bshape + tail)
+            c1 = jnp.concatenate(o1s).reshape(bshape + tail)
+        else:
+            c0, c1 = _mul_relin_core(a.c0, a.c1, b.c0, b.c1, kb, ka, ks)
         out = Ciphertext(c0, c1, nl, a.scale * b.scale)
         return self.rescale(out) if rescale else out
 
@@ -327,8 +402,11 @@ class Evaluator:
         perm = ctx.galois_perm(t)
         ks = ctx.ks_tables(nl)
         kb, ka = self._sliced_key(key, nl)
-        c0, c1 = _galois_core(ct.c0, ct.c1, perm, kb, ka, ks)
-        return ct.with_data(c0, c1)
+
+        def f(part):
+            c0, c1 = _galois_core(part.c0, part.c1, perm, kb, ka, ks)
+            return part.with_data(c0, c1)
+        return self._chunked(ct, f)
 
     # ------------------------------------------------------------------
     # debug probes (reference: FHEController print/print_min_max,
@@ -345,6 +423,15 @@ class Evaluator:
 # ----------------------------------------------------------------------
 
 from ..ops.ntt import _fwd as _ntt_fwd, _inv as _ntt_inv  # noqa: E402
+
+
+@jax.jit
+def _rns_spread_i32(c, q, mu, sh):
+    """(..., n) int32 centered coeffs -> (..., L, n) u32 residues, on
+    device.  q: (L, 1) u32 (mu/sh unused, kept for mod_consts signature)."""
+    qi = q.astype(jnp.int32)
+    r = c[..., None, :] % qi                 # sign-correct: jnp.remainder
+    return r.astype(jnp.uint32)
 
 
 @jax.jit
@@ -367,6 +454,12 @@ def _add_core(a0, a1, b0, b1, q):
 @jax.jit
 def _mul_plain_core(c0, c1, w, ws, q):
     return (ma.shoup_mulmod(c0, w, ws, q), ma.shoup_mulmod(c1, w, ws, q))
+
+
+@jax.jit
+def _mul_plain_barrett(c0, c1, w, q, mu, sh):
+    return (ma.barrett_mulmod(c0, w, q, mu, sh),
+            ma.barrett_mulmod(c1, w, q, mu, sh))
 
 
 @jax.jit

@@ -72,6 +72,9 @@ class PolyEvaluator:
         coeffs = list(coeffs)
         deg = len(coeffs) - 1
         assert deg >= 1
+        ev = self.ev
+        if abs(math.log2(x.scale / ev.ctx.delta)) > 0.02:
+            x = ev.adjust(x, x.nl - 1, ev.ctx.delta)
         pows = self.power_basis(x, deg)
         terms = [(pows[i], coeffs[i]) for i in range(1, deg + 1)]
         return self.combine(terms, coeffs[0])
@@ -81,8 +84,15 @@ class PolyEvaluator:
     # ------------------------------------------------------------------
 
     def eval_chebyshev_series(self, y: Ciphertext, coeffs) -> Ciphertext:
-        """sum_i c_i T_i(y), y expected in [-1, 1]."""
+        """sum_i c_i T_i(y), y expected in [-1, 1].
+
+        Entry scale is normalized to exactly Delta: the T_{2i} = 2T_i^2-1
+        recursion *squares* any scale excess (T_16 inherits 16x the input's
+        drift in log-scale), so a fraction of a bit at entry becomes tens
+        of bits at high degree and overflows the tracked-scale arithmetic."""
         ev = self.ev
+        if abs(math.log2(y.scale / ev.ctx.delta)) > 0.02:
+            y = ev.adjust(y, y.nl - 1, ev.ctx.delta)
         coeffs = np.asarray(coeffs, np.float64)
         deg = len(coeffs) - 1
         k = max(2, 1 << int(math.ceil(math.log2(max(deg, 2)) / 2)))

@@ -21,7 +21,7 @@ pytestmark = pytest.mark.skipif(
 from fhe_linformer_tpu.models import golden
 from fhe_linformer_tpu.models.circuit import CircuitParams, EncryptedLinformer
 
-CFG = CKKSConfig(n=256, scale_bits=26, num_scaling=48, dnum=8, seed=99)
+CFG = CKKSConfig(n=256, scale_bits=26, num_scaling=58, dnum=8, seed=99)
 D, KLIN, FFN, NCLS = 8, 4, 32, 5
 
 
