@@ -9,7 +9,7 @@ import time
 import numpy as np
 
 
-def main(S=128, num_scaling=23):
+def main(S=128, num_scaling=30):
     import jax
     from fhe_linformer_tpu.ckks import (CKKSConfig, Context, Evaluator,
                                         generate_keys)

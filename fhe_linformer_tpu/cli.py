@@ -95,6 +95,37 @@ def cmd_infer(args):
                       "logits": logits.tolist()}))
 
 
+def cmd_eval(args):
+    """Batch accuracy over exported sample dirs (the reference's
+    --eval_root mode, compute_20ng_linformer_forward.py:230-264).
+    Layout: <root>/test_<i>/input_<t>.txt + <root>/labels.txt."""
+    import os
+    from .models import golden
+    from .io.weights import load_reference_weights
+    from .client.pipeline import load_sample_embeddings, softmax_argmax
+    p, _ = _build_context(args.preset)
+    if args.weights_dir:
+        w = load_reference_weights(args.weights_dir, d=p.d, k_lin=p.k_lin,
+                                   d_ffn=p.d_ffn, n_classes=p.n_classes,
+                                   max_seq=p.max_seq)
+    else:
+        w = golden.random_weights(d=p.d, k_lin=p.k_lin, d_ffn=p.d_ffn,
+                                  n_classes=p.n_classes, max_seq=p.max_seq)
+    labels = [int(x) for x in
+              open(os.path.join(args.eval_root, "labels.txt"))]
+    dirs = sorted((d for d in os.listdir(args.eval_root)
+                   if d.startswith("test_")), key=lambda d: int(d[5:]))
+    correct = total = 0
+    for d in dirs:
+        idx = int(d[5:])
+        emb = load_sample_embeddings(os.path.join(args.eval_root, d))
+        probs = golden.forward(w, emb, cls_only=args.cls_only)
+        pred, _ = softmax_argmax(np.log(np.maximum(probs, 1e-30)))
+        correct += int(pred == labels[idx])
+        total += 1
+    print(json.dumps({"accuracy": correct / max(total, 1), "n": total}))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("fhe-linformer-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -120,6 +151,13 @@ def main(argv=None):
     inf.add_argument("--sample-dir", required=True)
     inf.add_argument("--cls-only", action="store_true")
     inf.set_defaults(fn=cmd_infer)
+
+    evp = sub.add_parser("eval")
+    evp.add_argument("--preset", default="tiny")
+    evp.add_argument("--weights-dir", default=None)
+    evp.add_argument("--eval-root", required=True)
+    evp.add_argument("--cls-only", action="store_true")
+    evp.set_defaults(fn=cmd_eval)
 
     bn = sub.add_parser("bench")
     bn.set_defaults(fn=lambda a: __import__("bench").main())
