@@ -201,6 +201,23 @@ class Bootstrapper:
         yi.scale = yr.scale  # identical chains
         return self.slots_to_coeffs(yr, yi, s_in)
 
+    def bootstrap2(self, ct: Ciphertext, prec_bits: int = 5) -> Ciphertext:
+        """Two-iteration bootstrap (the reference's precision variant,
+        FHEController.cpp:459-469 / OpenFHE EvalBootstrap(ct, 2, p)):
+        boot once, re-encrypt the residual error scaled up by 2^p, boot it,
+        and subtract — roughly doubling output precision."""
+        ev = self.ev
+        y1 = self.bootstrap(ct)
+        # residual at the bottom level: e = y1 - m  (same scale as ct)
+        y1_low = ev.adjust(y1, 1, ct.scale) if y1.nl > 1 else y1
+        ct_low = ev.drop_to(ct, 1)
+        e = ev.sub(y1_low, ct_low)
+        e = ev.mul_scalar_int(e, 1 << prec_bits)   # message *= 2^p
+        eb = self.bootstrap(e)
+        eb.scale = eb.scale * (1 << prec_bits)     # message /= 2^p (free)
+        y1m, ebm = ev.match(y1, eb)
+        return ev.sub(y1m, ebm)
+
     # -- numpy simulator (development oracle / precision report) ----------
 
     def simulate(self, slots_raised: np.ndarray, s_in: float) -> np.ndarray:

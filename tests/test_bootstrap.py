@@ -60,6 +60,20 @@ def test_bootstrap_refreshes(boot_setup):
     assert prec > 5.5, f"bootstrap precision too low: {prec} bits"
 
 
+def test_bootstrap_two_iterations(boot_setup):
+    """Precision-refined double bootstrap beats single-pass precision."""
+    ev, booter = boot_setup
+    rng = np.random.default_rng(5)
+    m = rng.uniform(-0.9, 0.9, CFG.slots)
+    low = ev.drop_to(ev.encrypt(m), 1)
+    from fhe_linformer_tpu.utils.timing import approx_error_log2
+    one = np.real(np.asarray(ev.decrypt(booter.bootstrap(low))))
+    two = np.real(np.asarray(ev.decrypt(booter.bootstrap2(low))))
+    p1 = approx_error_log2(m, one)
+    p2 = approx_error_log2(m, two)
+    assert p2 > p1 + 1.0, f"2-iter boot not more precise: {p1} -> {p2}"
+
+
 def test_bootstrap_then_compute(boot_setup):
     """Refreshed ciphertexts must keep computing (the whole point)."""
     ev, booter = boot_setup
