@@ -87,7 +87,20 @@ def cmd_infer(args):
     emb = load_sample_embeddings(args.sample_dir)
     circ = EncryptedLinformer(ev, w, p.circuit)
     t0 = time.time()
-    out = circ.forward(emb, cls_only=args.cls_only)
+    if args.resume_checkpoint:
+        # resume from a saved encoder output (the reference's
+        # checkpoint/encodered.bin flow, main.cpp:92-107)
+        from .io.serialize import load_ciphertext
+        x = load_ciphertext(args.resume_checkpoint)
+    else:
+        x_cts, xe, xf, S_total = circ.encrypt_inputs(emb)
+        x = circ.encoder_layer(x_cts, xe, xf, S_total,
+                               cls_only=args.cls_only)
+        if args.save_checkpoint:
+            from .io.serialize import save_ciphertext
+            save_ciphertext(args.save_checkpoint, x)
+    cls_ct = x.with_data(x.c0[0], x.c1[0]) if x.c0.ndim > 2 else x
+    out = circ.pooler_classifier(cls_ct)
     logits = circ.decrypt_logits(out)
     cls, p_ = softmax_argmax(logits)
     print(json.dumps({"pred": cls, "prob": float(p_[cls]),
@@ -150,6 +163,8 @@ def main(argv=None):
     inf.add_argument("--weights-dir", default=None)
     inf.add_argument("--sample-dir", required=True)
     inf.add_argument("--cls-only", action="store_true")
+    inf.add_argument("--save-checkpoint", default=None)
+    inf.add_argument("--resume-checkpoint", default=None)
     inf.set_defaults(fn=cmd_infer)
 
     evp = sub.add_parser("eval")
