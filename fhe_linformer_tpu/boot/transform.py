@@ -17,7 +17,7 @@ dense encode/decode matrix on small rings, and the same code builds 2^15.
 from __future__ import annotations
 
 import numpy as np
-from scipy.sparse import csr_matrix, identity
+from scipy.sparse import csr_matrix
 
 
 def _rot_group(n: int) -> np.ndarray:

@@ -24,7 +24,6 @@ sum_j D_j(c) * F_j === c (mod Q_l) for every l, with a single fixed key.
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass, field
 
 import numpy as np

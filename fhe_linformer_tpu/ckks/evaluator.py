@@ -14,18 +14,15 @@ only inside rescale and key switching, exactly where the math needs them.
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..ops import modarith as ma
-from .context import Context, LevelKS
+from .context import Context
 from .ciphertext import Ciphertext, Plaintext
 from .encoding import Encoder
-from .keys import KeySet, KSKey, SecretKey, PublicKey, KeyGenerator, rns_residues
+from .keys import KeySet, KSKey, rns_residues
 
 
 def _prod(xs):

@@ -19,7 +19,7 @@ import struct
 
 import numpy as np
 
-from ..ckks.ciphertext import Ciphertext, Plaintext
+from ..ckks.ciphertext import Ciphertext
 from ..ckks.keys import KeySet, KSKey, PublicKey, SecretKey
 
 MAGIC = b"FHETPU01"

@@ -23,7 +23,7 @@ identical code runs as a tiny CPU test model and the full d=128/k=32 model.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

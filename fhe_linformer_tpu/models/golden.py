@@ -13,7 +13,7 @@ runs as a tiny test model on CPU rings and full-size on TPU.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, fields
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -17,7 +17,7 @@ import math
 
 import numpy as np
 
-from ..ckks.ciphertext import Ciphertext, Plaintext
+from ..ckks.ciphertext import Ciphertext
 from ..ckks.evaluator import Evaluator
 from .eval import PolyEvaluator
 
