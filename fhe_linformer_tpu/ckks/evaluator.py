@@ -393,6 +393,28 @@ class Evaluator:
         assert self.keys.conj is not None
         return self._galois(ct, self.ctx.conj_t(), self.keys.conj)
 
+    def rotate_hoisted(self, ct: Ciphertext, rots) -> dict:
+        """{r: rotate(ct, r)} with the key-switch decomposition computed
+        ONCE (hoisting): ~40% of each additional rotation's NTT work is
+        shared.  Requires a rotation key per shift, like rotate()."""
+        ctx = self.ctx
+        nl = ct.nl
+        ks = ctx.ks_tables(nl)
+        y_e = _hoist_decompose_core(ct.c1, ks)
+        out = {}
+        for r in rots:
+            rr = r % ctx.cfg.slots
+            if rr == 0:
+                out[r] = ct
+                continue
+            key = self.keys.rot.get(rr) or self.keys.rot.get(rr - ctx.cfg.slots)
+            assert key is not None, f"no rotation key for shift {r}"
+            kb, ka = self._sliced_key(key, nl)
+            perm = ctx.galois_perm(ctx.galois_t(r))
+            c0, c1 = _hoist_rotate_core(ct.c0, y_e, perm, kb, ka, ks)
+            out[r] = ct.with_data(c0, c1)
+        return out
+
     def _galois(self, ct: Ciphertext, t: int, key: KSKey) -> Ciphertext:
         ctx = self.ctx
         nl = ct.nl
@@ -488,14 +510,12 @@ def _rescale_core(c0, c1, plan):
     return tuple(outs)
 
 
-def _ks_inner(cx_coeff, ksk_b, ksk_a, ks):
-    """Hybrid key-switch core on coefficient-domain input limbs (..., nl, N).
-    ksk_b/ksk_a: (ndig, nl + k_sp, N) already sliced to the target basis.
-    Returns (k0, k1) eval-domain over the active q basis (after P mod-down).
-
-    All digits ride ONE batched NTT / one batched inner-product: the digit
-    axis stacks as a leading batch dim, which keeps compiled graphs small
-    (one NTT instance instead of dnum) and feeds the MXU bigger batches."""
+def _ks_decompose(cx_coeff, ks):
+    """Digit-decompose + base-convert + NTT: the input-dependent, key-
+    independent 60% of a key switch.  Returns eval-domain digit stack
+    (ndig_active, ..., tgt, N) — reusable across many rotations of the
+    same ciphertext (hoisting: the Galois automorphism commutes with RNS
+    decomposition and with the NTT as an eval-index permutation)."""
     ys = []
     for dg in ks.digits:
         g = dg.group
@@ -510,9 +530,13 @@ def _ks_inner(cx_coeff, ksk_b, ksk_a, ks):
             y = term if y is None else ma.addmod(y, term, ks.q_tgt)
         ys.append(y)
     y_all = jnp.stack(ys)                      # (ndig_active, ..., tgt, N)
-    y_e = _ntt_fwd(y_all, ks.t_tgt)
+    return _ntt_fwd(y_all, ks.t_tgt)
+
+
+def _ks_apply(y_e, ksk_b, ksk_a, ks):
+    """Inner products with the key digits + mod-down."""
     nbatch = y_e.ndim - 3
-    nd = len(ks.digits)                        # active digits <= key digits
+    nd = y_e.shape[0]                          # active digits <= key digits
     kb = ksk_b[:nd].reshape((nd,) + (1,) * nbatch + ksk_b.shape[1:])
     ka = ksk_a[:nd].reshape((nd,) + (1,) * nbatch + ksk_a.shape[1:])
     t0 = ma.barrett_mulmod(y_e, kb, ks.q_tgt, ks.mu_tgt, ks.sh_tgt)
@@ -523,6 +547,30 @@ def _ks_inner(cx_coeff, ksk_b, ksk_a, ks):
         acc0 = ma.addmod(acc0, t0[j], ks.q_tgt)
         acc1 = ma.addmod(acc1, t1[j], ks.q_tgt)
     return _mod_down(acc0, ks), _mod_down(acc1, ks)
+
+
+def _ks_inner(cx_coeff, ksk_b, ksk_a, ks):
+    """Hybrid key-switch core on coefficient-domain input limbs (..., nl, N).
+    ksk_b/ksk_a: (ndig, nl + k_sp, N) already sliced to the target basis.
+    Returns (k0, k1) eval-domain over the active q basis (after P mod-down).
+
+    All digits ride ONE batched NTT / one batched inner-product: the digit
+    axis stacks as a leading batch dim, which keeps compiled graphs small
+    (one NTT instance instead of dnum) and feeds the MXU bigger batches."""
+    return _ks_apply(_ks_decompose(cx_coeff, ks), ksk_b, ksk_a, ks)
+
+
+@jax.jit
+def _hoist_decompose_core(c1, ks):
+    return _ks_decompose(_ntt_inv(c1, ks.t_act), ks)
+
+
+@jax.jit
+def _hoist_rotate_core(c0, y_e, perm, kb, ka, ks):
+    r0 = jnp.take(c0, perm, axis=-1)
+    y_perm = jnp.take(y_e, perm, axis=-1)
+    k0, k1 = _ks_apply(y_perm, kb, ka, ks)
+    return ma.addmod(r0, k0, ks.q_act), k1
 
 
 def _mod_down(x, ks):

@@ -265,11 +265,8 @@ class PackedOps:
         for k, d in diags.items():
             g, j = divmod(k % self.slots, bs)
             by_giant.setdefault(g, {})[j] = d
-        babies: dict[int, Ciphertext] = {}
-        for g, js in by_giant.items():
-            for j in js:
-                if j not in babies:
-                    babies[j] = ev.rotate(ct, j)
+        baby_shifts = sorted({j for js in by_giant.values() for j in js})
+        babies = ev.rotate_hoisted(ct, baby_shifts)  # shared decomposition
         acc = None
         for g, js in sorted(by_giant.items()):
             inner = None

@@ -76,6 +76,21 @@ def test_rotate(ev):
                                    err_msg=f"rotation {r}")
 
 
+def test_rotate_hoisted_matches_rotate(ev):
+    """Hoisted rotation (shared decomposition) decrypts identically to the
+    plain path.  (Not bit-identical: the signed coefficient permutation
+    flips FBC lift rounding by multiples of Qhat, which lands in the
+    key-switch noise budget — same ciphertext class, different noise.)"""
+    a = _rand(CFG.slots, 14)
+    ca = ev.encrypt(a)
+    outs = ev.rotate_hoisted(ca, [1, 2, 0])
+    for r in (1, 2):
+        got = np.real(ev.decrypt(outs[r]))
+        np.testing.assert_allclose(got, np.roll(a, -r), atol=1e-3,
+                                   err_msg=f"hoisted rotation {r}")
+    assert outs[0] is ca
+
+
 def test_rotate_composes_with_mult(ev):
     a, b = _rand(CFG.slots, 10), _rand(CFG.slots, 11)
     ca = ev.encrypt(a)
