@@ -12,7 +12,7 @@ import time
 import numpy as np
 
 
-def main(S=128, num_scaling=30, full=True):
+def main(S=128, num_scaling=40, full=True):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fhe_tpu_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -83,6 +83,68 @@ def load_listops(data_dir: str) -> TextDataset:
                            "expr", "label", "ListOps")
 
 
+def load_mimic3(data_dir: str) -> TextDataset:
+    """Clinical-notes corpus (reference MIMIC3, utils.py:10 — requires the
+    credentialed CSV placed locally)."""
+    return load_csv_corpus(os.path.join(data_dir, "mimic3.csv"),
+                           "text", "label", "MIMIC3")
+
+
+def load_astral_scope(data_dir: str) -> TextDataset:
+    """Protein-sequence classification (ASTRAL SCOPe, utils.py:101):
+    sequences as space-separated residue tokens."""
+    return load_csv_corpus(os.path.join(data_dir, "astral_scope.csv"),
+                           "sequence", "fold", "ASTRAL_SCOPe")
+
+
+def load_bytelevel_text(data_dir: str, name: str = "bytelevel") -> TextDataset:
+    """Byte-level text classification (LRA-style, utils.py:258): texts are
+    classified over raw byte tokens; we expose bytes as space-joined ints
+    so the standard Tokenizer path applies."""
+    ds = load_csv_corpus(os.path.join(data_dir, f"{name}.csv"),
+                         "text", "label", name)
+    def to_bytes(ts):
+        return [" ".join(str(b) for b in t.encode("utf-8")) for t in ts]
+    return TextDataset(to_bytes(ds.train_texts), ds.train_labels,
+                       to_bytes(ds.test_texts), ds.test_labels, name)
+
+
+def _load_image_pickle(path: str, name: str) -> TextDataset:
+    """Image corpora (CIFAR_100 utils.py:209, TFDS_CIFAR10 :289) from a
+    local pickle {train_x, train_y, test_x, test_y}; pixel rows are exposed
+    as token sequences (the reference flattens images the same way for the
+    sequence-classification pipeline)."""
+    import pickle
+    _need(path, name)
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+
+    def rows(x):
+        flat = np.asarray(x).reshape(len(x), -1)
+        return [" ".join(str(int(v) // 16) for v in r[:512]) for r in flat]
+    return TextDataset(rows(d["train_x"]), [int(v) for v in d["train_y"]],
+                       rows(d["test_x"]), [int(v) for v in d["test_y"]], name)
+
+
+def load_cifar100(data_dir: str) -> TextDataset:
+    return _load_image_pickle(os.path.join(data_dir, "cifar100.pkl"),
+                              "CIFAR_100")
+
+
+def load_tfds_cifar10(data_dir: str) -> TextDataset:
+    return _load_image_pickle(os.path.join(data_dir, "cifar10.pkl"),
+                              "TFDS_CIFAR10")
+
+
+LOADERS = {
+    "MIMIC3": load_mimic3, "R8": load_r8, "IMDB": load_imdb,
+    "ASTRAL_SCOPe": load_astral_scope, "Sklearn_20NG": load_20ng,
+    "BBC_News": load_bbc, "CIFAR_100": load_cifar100,
+    "ListOps": load_listops, "ByteLevel_TextClassification": load_bytelevel_text,
+    "TFDS_CIFAR10": load_tfds_cifar10,
+}
+
+
 _WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
           "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
           "red green blue sharp flat round heavy light fast slow").split()
