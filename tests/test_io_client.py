@@ -124,3 +124,15 @@ def test_golden_eval_harness():
         p = golden.forward(w, emb)
         correct += int(np.argmax(p) == tok.label2id[label])
     assert 0 <= correct <= len(ds.test_texts)
+
+
+def test_all_reference_corpus_loaders_present():
+    """utils.py ships 10 dataset classes (SURVEY §2.3); all have loaders."""
+    from fhe_linformer_tpu.client.datasets import LOADERS
+    want = {"MIMIC3", "R8", "IMDB", "ASTRAL_SCOPe", "Sklearn_20NG",
+            "BBC_News", "CIFAR_100", "ListOps",
+            "ByteLevel_TextClassification", "TFDS_CIFAR10"}
+    assert want == set(LOADERS)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        LOADERS["R8"]("/nonexistent")
