@@ -79,11 +79,14 @@ _reg(Preset(
     bootstrap=True,
 ))
 
-# CPU-scale test variants (same code paths, tiny ring)
+# CPU-scale test variants (same code paths, tiny ring, shallow degrees)
 _reg(Preset(
     name="tiny",
     desc="test-scale model: d=8, k=4, slots=128",
-    ckks=CKKSConfig(n=256, scale_bits=26, num_scaling=24, dnum=4),
+    ckks=CKKSConfig(n=256, scale_bits=26, num_scaling=58, dnum=8),
+    circuit=CircuitParams(inv_range=(0.5, 40.0), inv_degree=13,
+                          gelu_clip=1.0 / 4, gelu_degree=13,
+                          tanh_scale=1.0 / 4, tanh_degree=13),
     d=8, k_lin=4, d_ffn=32, n_classes=5, max_seq=12,
 ))
 
