@@ -216,8 +216,20 @@ def _mod_matmul(x, w_planes, tbl: LimbTables, side: str):
     return out
 
 
+def _use_pallas(t: LimbTables) -> bool:
+    """Fused Pallas kernel on real TPU for the production decomposition
+    (n1=128 keeps every MXU operand lane-aligned); plain XLA elsewhere
+    (CPU tests, tiny rings).  FHE_NTT_PALLAS=0 forces the XLA path."""
+    import os
+    return (t.n1 == 128 and jax.default_backend() == "tpu"
+            and os.environ.get("FHE_NTT_PALLAS", "1") != "0")
+
+
 @jax.jit
 def _fwd(x, t: LimbTables):
+    if _use_pallas(t):
+        from . import ntt_pallas
+        return ntt_pallas.fwd(x, t)
     y = x.reshape(*x.shape[:-1], t.n2, t.n1)
     y = jnp.swapaxes(y, -1, -2)                       # [j1][j2]
     b = _mod_matmul(y, t.w2f, t, "right")
@@ -228,6 +240,9 @@ def _fwd(x, t: LimbTables):
 
 @jax.jit
 def _inv(X, t: LimbTables):
+    if _use_pallas(t):
+        from . import ntt_pallas
+        return ntt_pallas.inv(X, t)
     m = X.reshape(*X.shape[:-1], t.n1, t.n2)          # [k1][k2]
     d = _mod_matmul(m, t.w1i, t, "left")
     e = ma.shoup_mulmod(d, t.ti, t.ti_s, t.q)
