@@ -42,11 +42,12 @@ import jax.numpy as jnp
 from ..primes import root_of_unity
 from . import modarith as ma
 
-XDIG_BITS = 5           # runtime-operand digit width
+XDIG_BITS = 5           # runtime-operand digit width (bf16/XLA path)
 XDIG = 6                # ceil(30 / 5)
 WDIG_BITS = 8           # constant-matrix digit width
 WDIG = 4                # ceil(30 / 8)
 _XMASK = (1 << XDIG_BITS) - 1
+XDIG8 = 4               # int8 path: balanced base-256 digits, both operands
 
 
 @functools.lru_cache(maxsize=None)
@@ -69,6 +70,30 @@ def pow_range(base: int, count: int, q: int) -> np.ndarray:
         b = b * b % q
         bit += 1
     return out
+
+
+def _expand_w_i8(w: np.ndarray, qs: np.ndarray, contract_axis: int) -> jnp.ndarray:
+    """(L, a, b) int64 matrix -> (XDIG8, L, XDIG8*dim, ...) int8 planes.
+
+    The int8-MXU variant of _expand_w: the contraction axis is expanded
+    XDIG8-fold with entries pre-scaled by 2**(8d) mod q (matching the
+    runtime operand's balanced base-256 digits), then each expanded entry
+    is split into XDIG8 *balanced* signed digits in [-128, 127].  Products
+    |x_d * w_e| <= 2**14 accumulated over <= XDIG8*n2 = 1024 terms stay
+    below 2**24, exact in the MXU's s32 accumulator."""
+    L = w.shape[0]
+    qcol = qs.reshape(L, 1, 1)
+    scaled = [(w * (1 << (8 * d))) % qcol for d in range(XDIG8)]
+    ex = np.concatenate(scaled, axis=contract_axis)
+    planes = []
+    v = ex.copy()
+    for _ in range(XDIG8):
+        u = v & 255
+        d = np.where(u >= 128, u - 256, u)
+        planes.append(d.astype(np.int8))
+        v = (v - d) >> 8
+    assert (v == 0).all(), "balanced digit split must terminate"
+    return jnp.asarray(np.stack(planes))
 
 
 def _expand_w(w: np.ndarray, qs: np.ndarray, contract_axis: int) -> jnp.ndarray:
@@ -108,7 +133,8 @@ def _x_digits(x, axis: int):
     jax.tree_util.register_dataclass,
     meta_fields=("n", "n1", "n2", "qs_key"),
     data_fields=("q", "w2f", "w1f", "tf", "tf_s",
-                 "w1i", "ti", "ti_s", "w2i", "comb_c", "comb_s"))
+                 "w1i", "ti", "ti_s", "w2i", "comb_c", "comb_s",
+                 "w2f8", "w1f8", "w1i8", "w2i8"))
 @dataclass(frozen=True)
 class LimbTables:
     """All per-basis NTT constants, stacked over a list of primes (axis 0)."""
@@ -127,6 +153,10 @@ class LimbTables:
     w2i: jnp.ndarray            # (WDIG, L, XDIG*n2, n2) bf16, untwist+1/N folded
     comb_c: jnp.ndarray         # (WDIG, L, 1, 1) u32: 2**(8e) mod q
     comb_s: jnp.ndarray         # shoup of comb_c
+    w2f8: jnp.ndarray           # (XDIG8, L, XDIG8*n2, n2) int8 balanced planes
+    w1f8: jnp.ndarray           # (XDIG8, L, n1, XDIG8*n1) int8
+    w1i8: jnp.ndarray           # (XDIG8, L, n1, XDIG8*n1) int8
+    w2i8: jnp.ndarray           # (XDIG8, L, XDIG8*n2, n2) int8
 
 
 def _build_tables(n: int, qs: tuple[int, ...]) -> LimbTables:
@@ -188,6 +218,10 @@ def _build_tables(n: int, qs: tuple[int, ...]) -> LimbTables:
         w2i=_expand_w(w2i, qs_np, 1),
         comb_c=jnp.asarray(combs.reshape(WDIG, L, 1, 1).astype(np.uint32)),
         comb_s=shoup(combs.reshape(WDIG, L, 1, 1), qs_np.reshape(1, L, 1, 1)),
+        w2f8=_expand_w_i8(w2f, qs_np, 1),
+        w1f8=_expand_w_i8(w1f, qs_np, 2),
+        w1i8=_expand_w_i8(w1i, qs_np, 2),
+        w2i8=_expand_w_i8(w2i, qs_np, 1),
     )
 
 
@@ -275,6 +309,8 @@ class NttContext:
                 tf_s=t.tf_s[idx], w1i=t.w1i[:, idx], ti=t.ti[idx],
                 ti_s=t.ti_s[idx], w2i=t.w2i[:, idx],
                 comb_c=t.comb_c[:, idx], comb_s=t.comb_s[:, idx],
+                w2f8=t.w2f8[:, idx], w1f8=t.w1f8[:, idx],
+                w1i8=t.w1i8[:, idx], w2i8=t.w2i8[:, idx],
             )
         return self._slices[key]
 

@@ -41,6 +41,8 @@ def _shard_tables(tables: LimbTables, nshard: int, axis_name: str) -> LimbTables
         tf_s=sl(tables.tf_s, 0), w1i=sl(tables.w1i, 1), ti=sl(tables.ti, 0),
         ti_s=sl(tables.ti_s, 0), w2i=sl(tables.w2i, 1),
         comb_c=sl(tables.comb_c, 1), comb_s=sl(tables.comb_s, 1),
+        w2f8=sl(tables.w2f8, 1), w1f8=sl(tables.w1f8, 1),
+        w1i8=sl(tables.w1i8, 1), w2i8=sl(tables.w2i8, 1),
     )
 
 
