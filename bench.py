@@ -63,9 +63,28 @@ def main():
     out.block_until_ready()
     plan = NttPlan(RING, qs[0])
     np.testing.assert_array_equal(np.asarray(out)[0, 0], plan.fwd(x[0, 0]))
-    dt = time_op(ntt.fwd, xj, iters=20)
+    # chained timing: the dev-tunnel device costs ~1-5 ms per dispatch
+    # (production TPU dispatch is ~50 us), so single-call timings measure
+    # the tunnel, not the chip.  Chain k transforms inside ONE jit and use
+    # (t_k - t_1)/(k - 1): pure on-device throughput.
+    import jax
+
+    def chained(f, k):
+        # fori_loop: the body compiles ONCE regardless of k (unrolled
+        # chains overwhelm the remote compiler), sequential dependency
+        # still forces k real executions on device.
+        @jax.jit
+        def g(a):
+            return jax.lax.fori_loop(0, k, lambda i, x: f(x), a)
+        return g
+
+    f1, f5 = chained(ntt.fwd, 1), chained(ntt.fwd, 5)
+    t1 = time_op(f1, xj, iters=10)
+    t5 = time_op(f5, xj, iters=10)
+    dt = max((t5 - t1) / 4, 1e-9)
     ntts_per_s = BATCH * LIMBS / dt
     details["ntt_limb_transforms_per_s"] = round(ntts_per_s, 1)
+    details["ntt_single_call_ms"] = round(t1 * 1e3, 3)
 
     t0 = time.perf_counter()
     plan.fwd(x[0, 0])
@@ -86,24 +105,51 @@ def main():
         ctx = Context(cfg)
         keys = generate_keys(ctx, rotations=(1,))
         ev = Evaluator(ctx, keys)
-        z = rng.uniform(-1, 1, (4, cfg.slots))
+        KSB = 8                              # ciphertexts per batched call
+        z = rng.uniform(-1, 1, (KSB, cfg.slots))
         ct = ev.encrypt(z, batch=True)
-        rot = lambda: ev.rotate(ct, 1)
-        r = rot()
-        _block((r.c0, r.c1))
-        t0 = time.perf_counter()
-        iters = 10
-        for _ in range(iters):
-            r = rot()
-        _block((r.c0, r.c1))
-        dt_ks = (time.perf_counter() - t0) / iters / 4   # per ciphertext
+        # chained rotations inside one jit (see NTT note above): this is
+        # the production shape — the circuit issues long sequences of
+        # batched Galois/keyswitch ops from rotsum/interleave trees.
+        from fhe_linformer_tpu.ckks.evaluator import _galois_core
+        nl = ct.nl
+        ks_t = ctx.ks_tables(nl)
+        kb, ka = ev._sliced_key(keys.rot[1], nl)
+        perm = jnp.asarray(ctx.galois_perm(ctx.galois_t(1)))
+
+        def rot_chain(k):
+            @jax.jit
+            def f(c0, c1):
+                return jax.lax.fori_loop(
+                    0, k, lambda i, c: _galois_core(c[0], c[1], perm,
+                                                    kb, ka, ks_t), (c0, c1))
+            return f
+
+        r1, r5 = rot_chain(1), rot_chain(5)
+        tr1 = time_op(lambda: r1(ct.c0, ct.c1), iters=5)
+        tr5 = time_op(lambda: r5(ct.c0, ct.c1), iters=5)
+        dt_ks = max((tr5 - tr1) / 4, 1e-9) / KSB        # per ciphertext
         ks_per_s = 1.0 / dt_ks
         details["keyswitch_per_s_per_chip"] = round(ks_per_s, 1)
-        details["keyswitch_latency_ms_batched4"] = round(dt_ks * 4e3, 3)
-        mul = ev.mul(ct, ct)
-        _block((mul.c0, mul.c1))
-        dt_mul = time_op(lambda: ev.mul(ct, ct), iters=5)
-        details["ctct_mult_relin_latency_ms_batched4"] = round(dt_mul * 1e3, 3)
+        details["keyswitch_batch"] = KSB
+        details["keyswitch_single_call_ms_batched"] = round(tr1 * 1e3, 3)
+        from fhe_linformer_tpu.ckks.evaluator import _mul_relin_core
+
+        def mul_chain(k):
+            @jax.jit
+            def f(c0, c1):
+                return jax.lax.fori_loop(
+                    0, k, lambda i, c: _mul_relin_core(c[0], c[1], c[0], c[1],
+                                                       rkb, rka, ks_t),
+                    (c0, c1))
+            return f
+
+        rkb, rka = ev._sliced_key(keys.relin, nl)
+        m1, m9 = mul_chain(1), mul_chain(9)
+        tm1 = time_op(lambda: m1(ct.c0, ct.c1), iters=8)
+        tm9 = time_op(lambda: m9(ct.c0, ct.c1), iters=8)
+        details["ctct_mult_relin_ms_per_ct"] = round(
+            max((tm9 - tm1) / 8, 1e-9) / KSB * 1e3, 4)
         # CPU baseline for a key switch ~ 2*(LIMBS+k) limb NTTs equivalent
         cpu_ks_per_s = cpu_ntts_per_s / (2.5 * (ctx.num_q + ctx.k_sp))
         metric = {

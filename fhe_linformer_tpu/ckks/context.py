@@ -78,11 +78,29 @@ class DigitTables:
 
 @functools.partial(
     jax.tree_util.register_dataclass,
+    meta_fields=("nd",),
+    data_fields=("fold", "fold_s", "gq", "conv", "conv_s", "q"))
+@dataclass(frozen=True)
+class BCTables:
+    """Padded whole-decomposition tables for the fused base-conversion
+    Pallas kernel (ops/basecvt.py): rows cover nd digit groups of alpha
+    source limbs each, zero rows contribute nothing."""
+    nd: int
+    fold: jnp.ndarray                 # (G, 1) u32, G = nd * alpha
+    fold_s: jnp.ndarray
+    gq: jnp.ndarray                   # (G, 1) source primes (1 on pad rows)
+    conv: jnp.ndarray                 # (G, tgt) u32
+    conv_s: jnp.ndarray
+    q: jnp.ndarray                    # (tgt,) target primes
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
     meta_fields=("nl", "tgt_idx"),
     data_fields=("digits", "pfold", "pfold_s", "pconv", "pconv_s",
                  "pinv", "pinv_s", "q_act", "mu_act", "sh_act",
                  "q_tgt", "mu_tgt", "sh_tgt", "q_sp",
-                 "t_act", "t_tgt", "t_sp"))
+                 "t_act", "t_tgt", "t_sp", "bc", "md"))
 @dataclass(frozen=True)
 class LevelKS:
     """Key-switch tables for one active q-limb count (a jit-able pytree:
@@ -108,6 +126,8 @@ class LevelKS:
     t_act: LimbTables                 # NTT tables: active q limbs
     t_tgt: LimbTables                 # active q + specials
     t_sp: LimbTables                  # specials only
+    bc: BCTables                      # fused decompose (Q_l -> tgt basis)
+    md: BCTables                      # fused mod-down convert (P -> Q_l)
 
 
 @functools.partial(
@@ -248,8 +268,12 @@ class Context:
             return self._ks[nl]
         tgt_idx = self.limb_idx(nl, specials=True)
         tgt_primes = [self.basis[i] for i in tgt_idx]
+        ntgt = len(tgt_primes)
         P = _prod(self.ps)
         digits = []
+        bc_fold = []                    # padded per-row tables for the fused
+        bc_gq = []                      # base-conversion kernel (row index ==
+        bc_conv = []                    # active limb index; pads are inert)
         for g_full in self._digit_groups_full():
             g = tuple(i for i in g_full if i < nl)
             if not g:
@@ -266,7 +290,13 @@ class Context:
                 convs.append([qhat_t % p for p in tgt_primes])
             folds = np.asarray(folds, np.int64).reshape(-1, 1)
             gq = np.asarray([self.qs[t] for t in g], np.int64).reshape(-1, 1)
-            convs = np.asarray(convs, np.int64)[:, :, None]       # (g, tgt, 1)
+            convs = np.asarray(convs, np.int64)                   # (g, tgt)
+            pad = self.alpha - len(g)
+            bc_fold.append(np.concatenate([folds, np.zeros((pad, 1), np.int64)]))
+            bc_gq.append(np.concatenate([gq, np.ones((pad, 1), np.int64)]))
+            bc_conv.append(np.concatenate([convs, np.zeros((pad, ntgt),
+                                                           np.int64)]))
+            convs = convs[:, :, None]                             # (g, tgt, 1)
             tgt_col = np.asarray(tgt_primes, np.int64)[None, :, None]
             digits.append(DigitTables(
                 group=g,
@@ -285,7 +315,8 @@ class Context:
             pconv.append([p_hat_t % int(q) for q in qs_act])
         pfold = np.asarray(pfold, np.int64).reshape(-1, 1)
         pcol = np.asarray(self.ps, np.int64).reshape(-1, 1)
-        pconv = np.asarray(pconv, np.int64)[:, :, None]           # (k, nl, 1)
+        pconv2d = np.asarray(pconv, np.int64)                     # (k, nl)
+        pconv = pconv2d[:, :, None]                               # (k, nl, 1)
         pinv = np.asarray([pow(P % int(q), int(q) - 2, int(q)) for q in qs_act],
                           np.int64).reshape(-1, 1)
         qcol = qs_act.reshape(-1, 1)
@@ -293,6 +324,23 @@ class Context:
         sp_idx = tuple(range(self.num_q, self.num_q + self.k_sp))
         qa, mua, sha = self.mod_consts(act_idx)
         qtg, mutg, shtg = self.mod_consts(tgt_idx)
+
+        def _bct(nd, fold, gq, conv, q_out):
+            tgt_row = q_out.reshape(1, -1)
+            return BCTables(
+                nd=nd,
+                fold=jnp.asarray(fold.astype(np.uint32)),
+                fold_s=jnp.asarray(ma.shoup_precompute(fold, gq)),
+                gq=jnp.asarray(gq.astype(np.uint32)),
+                conv=jnp.asarray(conv.astype(np.uint32)),
+                conv_s=jnp.asarray(ma.shoup_precompute(conv, tgt_row)),
+                q=jnp.asarray(q_out.astype(np.uint32)),
+            )
+
+        tgt_np = np.asarray(tgt_primes, np.int64)
+        bc = _bct(len(digits), np.concatenate(bc_fold),
+                  np.concatenate(bc_gq), np.concatenate(bc_conv), tgt_np)
+        md = _bct(1, pfold, pcol, pconv2d, qs_act)
         lk = LevelKS(
             nl=nl, tgt_idx=tgt_idx, digits=tuple(digits),
             pfold=jnp.asarray(pfold.astype(np.uint32)),
@@ -307,6 +355,7 @@ class Context:
             t_act=self.ntt.tables(act_idx),
             t_tgt=self.ntt.tables(tgt_idx),
             t_sp=self.ntt.tables(sp_idx),
+            bc=bc, md=md,
         )
         self._ks[nl] = lk
         return lk

@@ -516,6 +516,18 @@ def _ks_decompose(cx_coeff, ks):
     (ndig_active, ..., tgt, N) — reusable across many rotations of the
     same ciphertext (hoisting: the Galois automorphism commutes with RNS
     decomposition and with the NTT as an eval-index permutation)."""
+    from ..ops import basecvt
+    if basecvt.use_pallas():
+        G = ks.bc.fold.shape[0]
+        nl = cx_coeff.shape[-2]
+        pad = G - nl
+        xp = cx_coeff if not pad else jnp.concatenate(
+            [cx_coeff, jnp.zeros(cx_coeff.shape[:-2] + (pad,) +
+                                 cx_coeff.shape[-1:], jnp.uint32)], axis=-2)
+        y_all = basecvt.base_convert(xp, ks.bc.fold, ks.bc.fold_s, ks.bc.gq,
+                                     ks.bc.conv, ks.bc.conv_s, ks.bc.q,
+                                     nd=ks.bc.nd)
+        return _ntt_fwd(y_all, ks.t_tgt)
     ys = []
     for dg in ks.digits:
         g = dg.group
@@ -575,16 +587,21 @@ def _hoist_rotate_core(c0, y_e, perm, kb, ka, ks):
 
 def _mod_down(x, ks):
     """(..., nl + k_sp, N) over Q*P -> (..., nl, N) over Q: divide by P."""
+    from ..ops import basecvt
     nl = ks.nl
     xq = x[..., :nl, :]
     xp = x[..., nl:, :]
     vp = _ntt_inv(xp, ks.t_sp)
-    w = ma.shoup_mulmod(vp, ks.pfold, ks.pfold_s, ks.q_sp)
-    y = None
-    for ti in range(w.shape[-2]):
-        term = ma.shoup_mulmod(w[..., ti: ti + 1, :], ks.pconv[ti],
-                               ks.pconv_s[ti], ks.q_act)
-        y = term if y is None else ma.addmod(y, term, ks.q_act)
+    if basecvt.use_pallas():
+        y = basecvt.base_convert(vp, ks.md.fold, ks.md.fold_s, ks.md.gq,
+                                 ks.md.conv, ks.md.conv_s, ks.md.q, nd=1)[0]
+    else:
+        w = ma.shoup_mulmod(vp, ks.pfold, ks.pfold_s, ks.q_sp)
+        y = None
+        for ti in range(w.shape[-2]):
+            term = ma.shoup_mulmod(w[..., ti: ti + 1, :], ks.pconv[ti],
+                                   ks.pconv_s[ti], ks.q_act)
+            y = term if y is None else ma.addmod(y, term, ks.q_act)
     y_e = _ntt_fwd(y, ks.t_act)
     diff = ma.submod(xq, y_e, ks.q_act)
     return ma.shoup_mulmod(diff, ks.pinv, ks.pinv_s, ks.q_act)
