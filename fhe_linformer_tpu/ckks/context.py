@@ -79,12 +79,19 @@ class DigitTables:
 @functools.partial(
     jax.tree_util.register_dataclass,
     meta_fields=("nd",),
-    data_fields=("fold", "fold_s", "gq", "conv", "conv_s", "q"))
+    data_fields=("fold", "fold_s", "gq", "conv", "conv_s", "q",
+                 "convp", "bias", "sh1", "p16", "p16_s", "q_row"))
 @dataclass(frozen=True)
 class BCTables:
     """Padded whole-decomposition tables for the fused base-conversion
     Pallas kernel (ops/basecvt.py): rows cover nd digit groups of alpha
-    source limbs each, zero rows contribute nothing."""
+    source limbs each, zero rows contribute nothing.
+
+    convp..q_row drive the MXU digit-plane variant: output rows are
+    (digit j, target prime p) pairs, R = nd*tgt; the conversion matrix is
+    block-diagonal over digits, expanded 4x along the contraction axis
+    with entries conv*2**(8*e2) mod p, and split into XDIG8 balanced s8
+    planes (same scheme as ops/ntt.py:_expand_w_i8)."""
     nd: int
     fold: jnp.ndarray                 # (G, 1) u32, G = nd * alpha
     fold_s: jnp.ndarray
@@ -92,6 +99,12 @@ class BCTables:
     conv: jnp.ndarray                 # (G, tgt) u32
     conv_s: jnp.ndarray
     q: jnp.ndarray                    # (tgt,) target primes
+    convp: jnp.ndarray                # (XDIG8, R, XDIG8*G) s8 planes
+    bias: jnp.ndarray                 # (R, 1) u32: multiple of q_row >= 2**29
+    sh1: jnp.ndarray                  # (R, 1) u32: floor(2**32 / q_row)
+    p16: jnp.ndarray                  # (R, 1) u32: 2**16 mod q_row
+    p16_s: jnp.ndarray                # shoup of p16
+    q_row: jnp.ndarray                # (R, 1) u32: target prime per out row
 
 
 @functools.partial(
@@ -326,7 +339,42 @@ class Context:
         qtg, mutg, shtg = self.mod_consts(tgt_idx)
 
         def _bct(nd, fold, gq, conv, q_out):
+            from ..ops.ntt import XDIG8
             tgt_row = q_out.reshape(1, -1)
+            G = conv.shape[0]
+            tgt = conv.shape[1]
+            alpha = G // nd
+            R = nd * tgt
+            # block-diagonal expanded conversion matrix C[(j,p), (e2,t)]:
+            # conv[t,p] * 2**(8*e2) mod p for t in digit j, else 0
+            C = np.zeros((R, XDIG8 * G), np.int64)
+            q_row = np.empty(R, np.int64)
+            for j in range(nd):
+                for pi in range(tgt):
+                    row = j * tgt + pi
+                    p = int(q_out[pi])
+                    q_row[row] = p
+                    for ti in range(alpha):
+                        t = j * alpha + ti
+                        for e2 in range(XDIG8):
+                            C[row, e2 * G + t] = (
+                                int(conv[t, pi]) << (8 * e2)) % p
+            planes = []
+            v = C.copy()
+            for _ in range(XDIG8):
+                u = v & 255
+                d = np.where(u >= 128, u - 256, u)
+                planes.append(d.astype(np.int8))
+                v = (v - d) >> 8
+            assert (v == 0).all()
+            qr = q_row.reshape(-1, 1)
+            # |P01| = |P0 + 256*P1| <= 257 * 128*128*(4G) = 16.8M*G < 2**30
+            # for G <= 63; bias is the smallest multiple of q >= 2**30, so
+            # x = bias + P01 in (0, 3*2**30) fits u32.
+            assert G <= 63, "paired-plane combine bound"
+            bias = ((1 << 30) // qr + 1) * qr
+            assert bias.max() + (1 << 30) < (1 << 32)
+            p16 = np.full((R, 1), 1 << 16, np.int64) % qr
             return BCTables(
                 nd=nd,
                 fold=jnp.asarray(fold.astype(np.uint32)),
@@ -335,6 +383,12 @@ class Context:
                 conv=jnp.asarray(conv.astype(np.uint32)),
                 conv_s=jnp.asarray(ma.shoup_precompute(conv, tgt_row)),
                 q=jnp.asarray(q_out.astype(np.uint32)),
+                convp=jnp.asarray(np.stack(planes)),
+                bias=jnp.asarray(bias.astype(np.uint32)),
+                sh1=jnp.asarray(((1 << 32) // qr).astype(np.uint32)),
+                p16=jnp.asarray(p16.astype(np.uint32)),
+                p16_s=jnp.asarray(ma.shoup_precompute(p16, qr)),
+                q_row=jnp.asarray(qr.astype(np.uint32)),
             )
 
         tgt_np = np.asarray(tgt_primes, np.int64)

@@ -121,8 +121,14 @@ class Evaluator:
     # distinct compile shapes) and process fixed-size chunks.
 
     def _heavy_chunk(self, nl: int) -> int:
+        # key-switch throughput on v5e peaks at SMALL batches (measured
+        # 2026-08: 979 ks/s at 4 cts/call vs 636 at 32 — the ~12x
+        # intermediate volume of a key switch thrashes HBM at large B),
+        # so the cap is a perf knob, not just an HBM guard.
+        import os
+        cap = int(os.environ.get("FHE_HEAVY_CHUNK", "8"))
         per_ct = nl * self.ctx.cfg.n * 4 * 16   # bytes with overhead factor
-        return max(1, (1 << 31) // per_ct)
+        return max(1, min(cap, (1 << 31) // per_ct))
 
     def _chunked(self, ct: Ciphertext, f) -> Ciphertext:
         bshape = ct.c0.shape[:-2]
@@ -524,9 +530,7 @@ def _ks_decompose(cx_coeff, ks):
         xp = cx_coeff if not pad else jnp.concatenate(
             [cx_coeff, jnp.zeros(cx_coeff.shape[:-2] + (pad,) +
                                  cx_coeff.shape[-1:], jnp.uint32)], axis=-2)
-        y_all = basecvt.base_convert(xp, ks.bc.fold, ks.bc.fold_s, ks.bc.gq,
-                                     ks.bc.conv, ks.bc.conv_s, ks.bc.q,
-                                     nd=ks.bc.nd)
+        y_all = basecvt.base_convert(xp, ks.bc)
         return _ntt_fwd(y_all, ks.t_tgt)
     ys = []
     for dg in ks.digits:
@@ -593,8 +597,7 @@ def _mod_down(x, ks):
     xp = x[..., nl:, :]
     vp = _ntt_inv(xp, ks.t_sp)
     if basecvt.use_pallas():
-        y = basecvt.base_convert(vp, ks.md.fold, ks.md.fold_s, ks.md.gq,
-                                 ks.md.conv, ks.md.conv_s, ks.md.q, nd=1)[0]
+        y = basecvt.base_convert(vp, ks.md)[0]
     else:
         w = ma.shoup_mulmod(vp, ks.pfold, ks.pfold_s, ks.q_sp)
         y = None

@@ -40,9 +40,7 @@ def _pallas_decompose(cx, ks):
     xp = cx if not pad else jnp.concatenate(
         [cx, jnp.zeros(cx.shape[:-2] + (pad,) + cx.shape[-1:],
                        jnp.uint32)], axis=-2)
-    return np.asarray(basecvt.base_convert(
-        xp, ks.bc.fold, ks.bc.fold_s, ks.bc.gq, ks.bc.conv, ks.bc.conv_s,
-        ks.bc.q, nd=ks.bc.nd, interpret=True))
+    return np.asarray(basecvt.base_convert(xp, ks.bc, interpret=True))
 
 
 def test_decompose_matches_xla_all_levels():
@@ -73,7 +71,5 @@ def test_moddown_convert_matches_xla():
         term = ma.shoup_mulmod(w[..., ti: ti + 1, :], ks.pconv[ti],
                                ks.pconv_s[ti], ks.q_act)
         y = term if y is None else ma.addmod(y, term, ks.q_act)
-    got = basecvt.base_convert(vp, ks.md.fold, ks.md.fold_s, ks.md.gq,
-                               ks.md.conv, ks.md.conv_s, ks.md.q, nd=1,
-                               interpret=True)[0]
+    got = basecvt.base_convert(vp, ks.md, interpret=True)[0]
     np.testing.assert_array_equal(np.asarray(got), np.asarray(y))
