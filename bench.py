@@ -110,7 +110,7 @@ def main():
         nl = ct.nl
         ks_t = ctx.ks_tables(nl)
         kb, ka = ev._sliced_key(keys.rot[1], nl)
-        perm = jnp.asarray(ctx.galois_perm(ctx.galois_t(1)))
+        perm = ctx.galois_perm_factored(ctx.galois_t(1))
 
         def rot_chain(k):
             @jax.jit

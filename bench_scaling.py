@@ -94,7 +94,7 @@ c0 = jax.device_put(ct.c0, sh)
 c1 = jax.device_put(ct.c1, sh)
 ks = ctx.ks_tables(ct.nl)
 kb, ka = ev._sliced_key(keys.rot[1], ct.nl)
-perm = jnp.asarray(ctx.galois_perm(ctx.galois_t(1)))
+perm = ctx.galois_perm_factored(ctx.galois_t(1))
 hlo2 = jax.jit(_galois_core).lower(c0, c1, perm, kb, ka, ks).compile().as_text()
 report["dp_sharded_galois_core_dp8"] = inventory(hlo2)
 

@@ -90,8 +90,12 @@ def main():
         out = _mod_down(v, ks)                 # (B, nl, N)
         return jnp.concatenate([out, v[..., out.shape[-2]:, :]], axis=-2)
 
+    from fhe_linformer_tpu.ckks.evaluator import _apply_gperm
+    gp = ctx.galois_perm_factored(ctx.galois_t(1))
+
     total = 0.0
-    total += 2 * timed("permute", lambda v: jnp.take(v, perm, axis=-1), c1)
+    timed("permute/flat", lambda v: jnp.take(v, perm, axis=-1), c1)
+    total += 2 * timed("permute", lambda v: _apply_gperm(v, gp), c1)
     total += timed("intt", lambda v: _ntt_inv(v, ks.t_act), c1)
     total += timed("decompose", dec_fold, r1_coeff)
     total += timed("nttdig", lambda v: _ntt_fwd(v, ks.t_tgt), y_e)

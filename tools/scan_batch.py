@@ -43,7 +43,7 @@ def main():
         nl = ct.nl
         ks_t = ctx.ks_tables(nl)
         kb, ka = ev._sliced_key(keys.rot[1], nl)
-        perm = jnp.asarray(ctx.galois_perm(ctx.galois_t(1)))
+        perm = ctx.galois_perm_factored(ctx.galois_t(1))
 
         def build(k, c0=ct.c0, c1=ct.c1):
             @jax.jit
