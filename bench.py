@@ -51,6 +51,10 @@ def _marginal(build, k_lo, k_hi, iters=7):
 
 def main():
     import jax
+    # persistent compile cache: the remote (tunneled) compiler's latency is
+    # process-variable by up to ~10x; caching keeps repeat bench runs fast
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fhe_tpu_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from fhe_linformer_tpu.primes import ntt_primes
     from fhe_linformer_tpu.ops.ntt import NttContext

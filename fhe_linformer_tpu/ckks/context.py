@@ -189,20 +189,25 @@ class RescalePlan:
     t_rem: LimbTables
 
 
+def modulus_chain(cfg: CKKSConfig):
+    """(qs, ps, alpha): the RNS prime chain a config resolves to — cheap
+    (no NTT tables); used by Context and by security.assess_config."""
+    two_n = 2 * cfg.n
+    alpha = (cfg.num_scaling + 1 + cfg.dnum - 1) // cfg.dnum
+    big = ntt_primes(two_n, 1 + alpha, max_bits=cfg.first_mod_bits)
+    qs = (big[0],) + scaling_primes(two_n, cfg.num_scaling, cfg.scale_bits)
+    return qs, tuple(big[1:]), alpha
+
+
 class Context:
     def __init__(self, cfg: CKKSConfig):
         self.cfg = cfg
         n = cfg.n
-        two_n = 2 * n
         # --- modulus chain -------------------------------------------------
-        alpha = (cfg.num_scaling + 1 + cfg.dnum - 1) // cfg.dnum
-        big = ntt_primes(two_n, 1 + alpha, max_bits=cfg.first_mod_bits)
-        self.q0 = big[0]
-        self.ps = tuple(big[1:])                       # special primes
-        self.scaling = scaling_primes(two_n, cfg.num_scaling, cfg.scale_bits)
-        self.qs = (self.q0,) + self.scaling            # the Q chain
+        self.qs, self.ps, self.alpha = modulus_chain(cfg)
+        self.q0 = self.qs[0]
+        self.scaling = self.qs[1:]
         self.num_q = len(self.qs)
-        self.alpha = alpha
         self.k_sp = len(self.ps)
         self.basis = self.qs + self.ps                 # full limb order
         assert len(set(self.basis)) == len(self.basis)

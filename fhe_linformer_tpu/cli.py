@@ -138,6 +138,15 @@ def cmd_eval(args):
     print(json.dumps({"accuracy": correct / max(total, 1), "n": total}))
 
 
+def cmd_security(args):
+    from . import config, security
+    names = [args.preset] if args.preset else sorted(config.PRESETS)
+    for name in names:
+        cfg = config.get(name).ckks
+        print(f"{name:18s} {security.assess(cfg)}")
+        print(f"{'':18s} estimator: {security.estimator_input(cfg)}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("fhe-linformer-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -175,6 +184,11 @@ def main(argv=None):
 
     bn = sub.add_parser("bench")
     bn.set_defaults(fn=lambda a: __import__("bench").main())
+
+    sec = sub.add_parser("security", help="HE-standard security assessment")
+    sec.add_argument("--preset", default=None,
+                     help="preset name (default: assess every preset)")
+    sec.set_defaults(fn=cmd_security)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -79,6 +79,16 @@ _reg(Preset(
     bootstrap=True,
 ))
 
+# security-calibrated variant: same circuit as linformer-boot but with a
+# uniform ternary secret (the HE-standard table's assumption) and the
+# QP budget inside the 128-bit classical bound — see security.assess()
+_reg(Preset(
+    name="linformer-128c",
+    desc="full bootstrapped Linformer at >=128-bit classical security",
+    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=20, dnum=4),
+    bootstrap=True,
+))
+
 # CPU-scale test variants (same code paths, tiny ring, shallow degrees)
 _reg(Preset(
     name="tiny",
