@@ -428,8 +428,22 @@ class Context:
             qr = q_row.reshape(-1, 1)
             # |P01| = |P0 + 256*P1| <= 257 * 128*128*(4G) = 16.8M*G < 2**30
             # for G <= 63; bias is the smallest multiple of q >= 2**30, so
-            # x = bias + P01 in (0, 3*2**30) fits u32.
-            assert G <= 63, "paired-plane combine bound"
+            # x = bias + P01 in (0, 3*2**30) fits u32.  Configs past the
+            # bound (large dnum test shapes) fall back to the XLA loop:
+            # MXU-variant tables stay unbuilt (convp=None) and
+            # evaluator._ks_decompose / _mod_down route accordingly.
+            if G > 63:
+                return BCTables(
+                    nd=nd,
+                    fold=jnp.asarray(fold.astype(np.uint32)),
+                    fold_s=jnp.asarray(ma.shoup_precompute(fold, gq)),
+                    gq=jnp.asarray(gq.astype(np.uint32)),
+                    conv=jnp.asarray(conv.astype(np.uint32)),
+                    conv_s=jnp.asarray(ma.shoup_precompute(conv, tgt_row)),
+                    q=jnp.asarray(q_out.astype(np.uint32)),
+                    convp=None, bias=None, sh1=None, p16=None, p16_s=None,
+                    q_row=None,
+                )
             bias = ((1 << 30) // qr + 1) * qr
             assert bias.max() + (1 << 30) < (1 << 32)
             p16 = np.full((R, 1), 1 << 16, np.int64) % qr

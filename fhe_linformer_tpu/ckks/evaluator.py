@@ -535,7 +535,7 @@ def _ks_decompose(cx_coeff, ks, cx_eval=None):
     source primes, so those rows are just F_j^{-1} * cx_eval (LevelKS.own),
     cutting nl of the nd*(nl+k) digit NTTs."""
     from ..ops import basecvt
-    if basecvt.use_pallas():
+    if basecvt.use_pallas() and ks.bc.convp is not None:
         G = ks.bc.fold.shape[0]
         nl = cx_coeff.shape[-2]
         pad = G - nl
@@ -621,7 +621,7 @@ def _mod_down(x, ks):
     xq = x[..., :nl, :]
     xp = x[..., nl:, :]
     vp = _ntt_inv(xp, ks.t_sp)
-    if basecvt.use_pallas():
+    if basecvt.use_pallas() and ks.md.convp is not None:
         y = basecvt.base_convert(vp, ks.md)[0]
     else:
         w = ma.shoup_mulmod(vp, ks.pfold, ks.pfold_s, ks.q_sp)

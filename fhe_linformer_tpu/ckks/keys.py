@@ -38,9 +38,27 @@ class PublicKey:
 
 @dataclass
 class KSKey:
-    """One hybrid key-switch key (relin, one rotation, or conjugation)."""
+    """One hybrid key-switch key (relin, one rotation, or conjugation).
+
+    The `a` halves are uniform ring elements derived from a NAMED seed
+    (independent of generation order), so serialization can store the seed
+    instead of the arrays — halving key files, the dominant key-store cost
+    (SURVEY.md §3.1: reference keys are multi-GB).  Standard seeded-RLWE
+    trick; `b` still carries the secret-dependent half."""
     b: jnp.ndarray               # (ndig, num_q + k_sp, N) u32 eval
     a: jnp.ndarray
+    a_seed: tuple | None = None  # PRNG seed sequence that regenerates `a`
+
+
+def seeded_uniform_eval(seed, qs, ndig: int, n: int) -> np.ndarray:
+    """(ndig, len(qs), n) u32 uniform residues from a named seed — the
+    exact sampling order KSKey generation and regeneration share."""
+    rng = np.random.default_rng(seed)
+    out = np.empty((ndig, len(qs), n), np.uint32)
+    for j in range(ndig):
+        for i, q in enumerate(qs):
+            out[j, i] = rng.integers(0, int(q), n, dtype=np.uint32)
+    return out
 
 
 def rns_residues(coeffs: np.ndarray, primes) -> np.ndarray:
@@ -103,8 +121,11 @@ class KeyGenerator:
         p0 = ma.submod(e, ma.barrett_mulmod(a, s, q, mu, sh), q)
         return PublicKey(p0, a)
 
-    def _ks_key(self, sk: SecretKey, s_prime_eval: jnp.ndarray) -> KSKey:
-        """KSK digits encrypting P*F_j*s' under s, over the full basis."""
+    def _ks_key(self, sk: SecretKey, s_prime_eval: jnp.ndarray,
+                tag: tuple = ()) -> KSKey:
+        """KSK digits encrypting P*F_j*s' under s, over the full basis.
+        `tag` names the key so its `a` halves regenerate from the seed
+        alone (see KSKey)."""
         ctx = self.ctx
         full = ctx.limb_idx(ctx.num_q, specials=True)
         q, mu, sh = ctx.mod_consts(full)
@@ -112,16 +133,20 @@ class KeyGenerator:
         for p in ctx.ps:
             P *= p
         groups = ctx._digit_groups_full()
-        bs, as_ = [], []
+        seed = (ctx.cfg.seed & 0x7FFFFFFF, 0xA5) + tuple(tag)
+        a_all = seeded_uniform_eval(seed, [ctx.basis[i] for i in full],
+                                    len(groups), ctx.cfg.n)
+        a_all = jnp.asarray(a_all)
+        bs = []
         s = sk.eval_full
-        for g_full in groups:
+        for dj, g_full in enumerate(groups):
             F_j = 1
             for i, qq in enumerate(ctx.qs):
                 if i not in g_full:
                     F_j *= qq
             factor = np.asarray([(P * F_j) % ctx.basis[i] for i in full],
                                 np.int64).reshape(-1, 1)
-            a_j = self.uniform_eval(full)
+            a_j = a_all[dj]
             e_j = self.to_eval(self.gauss(), full)
             fac = jnp.asarray(factor.astype(np.uint32))
             fac_s = jnp.asarray(ma.shoup_precompute(
@@ -129,15 +154,14 @@ class KeyGenerator:
                                    np.int64).reshape(-1, 1)))
             b_j = _ksk_digit(a_j, e_j, s, s_prime_eval, fac, fac_s, q, mu, sh)
             bs.append(b_j)
-            as_.append(a_j)
-        return KSKey(jnp.stack(bs), jnp.stack(as_))
+        return KSKey(jnp.stack(bs), a_all, seed)
 
     def relin_key(self, sk: SecretKey) -> KSKey:
         ctx = self.ctx
         full = ctx.limb_idx(ctx.num_q, specials=True)
         q, mu, sh = ctx.mod_consts(full)
         s2 = ma.barrett_mulmod(sk.eval_full, sk.eval_full, q, mu, sh)
-        return self._ks_key(sk, s2)
+        return self._ks_key(sk, s2, tag=(0, 0))
 
     def rotation_key(self, sk: SecretKey, rot: int) -> KSKey:
         """Key switching tau_t(s) -> s for rotation by `rot` slots."""
@@ -150,7 +174,7 @@ class KeyGenerator:
     def _galois_key(self, sk: SecretKey, t: int) -> KSKey:
         perm = self.ctx.galois_perm(t)
         s_rot = jnp.take(sk.eval_full, perm, axis=-1)
-        return self._ks_key(sk, s_rot)
+        return self._ks_key(sk, s_rot, tag=(1, t))
 
 
 @jax.jit

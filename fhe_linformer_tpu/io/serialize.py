@@ -67,30 +67,54 @@ def load_ciphertext(path: str) -> Ciphertext:
                       int(meta["nl"]), float(meta["scale"]))
 
 
-def save_keys(dirpath: str, keys: KeySet, include_secret: bool = False):
-    """Key store on disk (reference keys/ directory parity)."""
+def save_keys(dirpath: str, keys: KeySet, include_secret: bool = False,
+              compress: bool = True):
+    """Key store on disk (reference keys/ directory parity).
+
+    With compress (default), key-switch keys whose `a` halves carry a
+    regeneration seed (KSKey.a_seed) store ONLY the seed + the prime basis
+    — half the bytes of the dominant key material (seeded-RLWE; see
+    ckks/keys.py KSKey)."""
     os.makedirs(dirpath, exist_ok=True)
     np.savez(os.path.join(dirpath, "public.npz"),
              p0=np.asarray(keys.pk.p0), p1=np.asarray(keys.pk.p1))
-    np.savez(os.path.join(dirpath, "relin.npz"),
-             b=np.asarray(keys.relin.b), a=np.asarray(keys.relin.a))
+
+    def _save(name, k):
+        path = os.path.join(dirpath, name)
+        if compress and k.a_seed is not None:
+            np.savez(path, b=np.asarray(k.b),
+                     a_seed=np.asarray(k.a_seed, np.int64))
+        else:
+            np.savez(path, b=np.asarray(k.b), a=np.asarray(k.a))
+
+    _save("relin.npz", keys.relin)
     for r, k in keys.rot.items():
-        np.savez(os.path.join(dirpath, f"rot_{r}.npz"),
-                 b=np.asarray(k.b), a=np.asarray(k.a))
+        _save(f"rot_{r}.npz", k)
     if keys.conj is not None:
-        np.savez(os.path.join(dirpath, "conj.npz"),
-                 b=np.asarray(keys.conj.b), a=np.asarray(keys.conj.a))
+        _save("conj.npz", keys.conj)
     if include_secret and keys.sk is not None:
         np.savez(os.path.join(dirpath, "secret.npz"),
                  coeffs=keys.sk.coeffs, eval_full=np.asarray(keys.sk.eval_full))
 
 
-def load_keys(dirpath: str) -> KeySet:
+def load_keys(dirpath: str, ctx=None) -> KeySet:
+    """ctx is required only for seed-compressed key stores (provides the
+    prime basis the regenerated `a` halves are sampled over)."""
     import jax.numpy as jnp
+    from ..ckks.keys import seeded_uniform_eval
 
     def _ksk(name):
         z = np.load(os.path.join(dirpath, name))
-        return KSKey(jnp.asarray(z["b"]), jnp.asarray(z["a"]))
+        if "a" in z:
+            return KSKey(jnp.asarray(z["b"]), jnp.asarray(z["a"]))
+        assert ctx is not None, \
+            f"{name} is seed-compressed; load_keys needs ctx to regenerate"
+        seed = tuple(int(v) for v in z["a_seed"])
+        ndig, nlimb, n = z["b"].shape
+        qs = [ctx.basis[i] for i in ctx.limb_idx(ctx.num_q, specials=True)]
+        assert len(qs) == nlimb and n == ctx.cfg.n
+        a = seeded_uniform_eval(seed, qs, ndig, n)
+        return KSKey(jnp.asarray(z["b"]), jnp.asarray(a), seed)
 
     zp = np.load(os.path.join(dirpath, "public.npz"))
     pk = PublicKey(jnp.asarray(zp["p0"]), jnp.asarray(zp["p1"]))

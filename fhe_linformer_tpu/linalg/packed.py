@@ -170,7 +170,7 @@ class PackedOps:
         for k in range(dim):
             dk = np.array([W[i % dim][(i + k) % dim] for i in range(dim)])
             diags[k] = np.tile(dk, self.slots // dim)
-        baby = {j: ev.rotate(ct, j) for j in range(bs)}
+        baby = ev.rotate_hoisted(ct, range(bs))   # shared decomposition
         acc = None
         for g in range(gs):
             inner = None

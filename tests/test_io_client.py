@@ -37,13 +37,30 @@ def test_ciphertext_checkpoint_roundtrip(ev, tmp_path):
 def test_keystore_roundtrip(ev, tmp_path):
     d = str(tmp_path / "keys")
     ser.save_keys(d, ev.keys, include_secret=True)
-    back = ser.load_keys(d)
+    back = ser.load_keys(d, ctx=ev.ctx)
+    # seed-compressed `a` halves regenerate bit-exactly
+    np.testing.assert_array_equal(np.asarray(back.relin.a),
+                                  np.asarray(ev.keys.relin.a))
     ev2 = Evaluator(ev.ctx, back)
     z = np.linspace(-0.5, 0.5, CFG.slots)
     ct = ev2.encrypt(z)
     out = ev2.rotate(ct, 1)
     np.testing.assert_allclose(np.real(ev2.decrypt(out)),
                                np.roll(z, -1), atol=1e-3)
+
+
+def test_keystore_compression_halves_ks_keys(ev, tmp_path):
+    import os
+    dc = str(tmp_path / "kc")
+    du = str(tmp_path / "ku")
+    ser.save_keys(dc, ev.keys, compress=True)
+    ser.save_keys(du, ev.keys, compress=False)
+    sz = lambda p: os.path.getsize(os.path.join(p, "relin.npz"))
+    assert sz(dc) < 0.6 * sz(du)
+    # uncompressed stores load without a context
+    back = ser.load_keys(du)
+    np.testing.assert_array_equal(np.asarray(back.relin.a),
+                                  np.asarray(ev.keys.relin.a))
 
 
 def test_reference_weight_format_roundtrip(tmp_path):
