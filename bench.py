@@ -105,7 +105,10 @@ def main():
                                             generate_keys)
         from fhe_linformer_tpu.ckks.evaluator import (_galois_core,
                                                       _mul_relin_core)
-        cfg = CKKSConfig(n=RING, scale_bits=26, num_scaling=LIMBS - 1, dnum=4)
+        # dnum=3 measured fastest at nl=24 (tools/ab_dnum.py on v5e:
+        # 1768 ks/s vs 1180 @dnum=4, 1559 @dnum=2): 3x32 digit-NTT rows
+        # and an 8-special mod-down balance MXU work vs basis width.
+        cfg = CKKSConfig(n=RING, scale_bits=26, num_scaling=LIMBS - 1, dnum=3)
         ctx = Context(cfg)
         keys = generate_keys(ctx, rotations=(1,))
         ev = Evaluator(ctx, keys)

@@ -77,8 +77,10 @@ def main():
     def dec_fold(v):
         # loop-carried shape must equal input's: fold the (nd, B, tgt, N)
         # digit stack back to (B, nl, N) while keeping EVERY output element
-        # live (plain u32 adds; wraparound irrelevant for timing)
-        y = _ks_decompose(v, ks)
+        # live (plain u32 adds; wraparound irrelevant for timing).
+        # cx_eval=v is shape-compatible (eval arg only feeds own-group rows)
+        # so the own-skip path is exercised as in production.
+        y = _ks_decompose(v, ks, cx_eval=v)
         s = y[0]
         for j in range(1, y.shape[0]):
             s = s + y[j]
@@ -97,8 +99,9 @@ def main():
     timed("permute/flat", lambda v: jnp.take(v, perm, axis=-1), c1)
     total += 2 * timed("permute", lambda v: _apply_gperm(v, gp), c1)
     total += timed("intt", lambda v: _ntt_inv(v, ks.t_act), c1)
-    total += timed("decompose", dec_fold, r1_coeff)
-    total += timed("nttdig", lambda v: _ntt_fwd(v, ks.t_tgt), y_e)
+    total += timed("decompose", dec_fold, r1_coeff)   # includes digit NTT
+    timed("nttdig", lambda v: _ntt_fwd(v, ks.t_tgt), y_e)  # info only
+    # (not added: the decompose stage above already contains the digit NTT)
     total += timed("apply2", lambda v: _app2(v, kbn, kan, ks), y_e)
     total += 2 * timed("moddown", md_fold, acc)
     print(f"sum {total*1e3:8.3f} ms per batched-{KSB} galois "
