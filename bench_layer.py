@@ -12,7 +12,7 @@ import time
 import numpy as np
 
 
-def main(S=128, num_scaling=40, full=True):
+def main(S=128, num_scaling=44, full=True):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fhe_tpu_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -61,7 +61,8 @@ def main(S=128, num_scaling=40, full=True):
         out2.c0.block_until_ready()
         t_warm = time.time() - t0
         results[name] = round(t_warm, 3)
-        print(f"{name}: first {t_first:.1f}s warm {t_warm:.2f}s", flush=True)
+        print(f"{name}: first {t_first:.1f}s warm {t_warm:.2f}s "
+              f"(out nl={out2.nl})", flush=True)
         return out2
 
     attn = stage("attention", circ.attention, x_cts, xe, xf, S_total)

@@ -58,19 +58,9 @@ class Bootstrapper:
         n = ctx.cfg.n
         self.M = ctx.cfg.slots
         self.ops = PackedOps(ev, d=1)
-
-        # --- transform factor groups (host sparse) ---------------------
-        P, fwd_stages = special_fft_stages(n)
-        cts_groups = group_stages(special_ifft_stages(n),
-                                  self.cfg.level_budget[0])
-        stc_groups = group_stages([P] + fwd_stages, self.cfg.level_budget[1])
-        self.cts_diags = [diagonals_of(g) for g in cts_groups]
-        self.stc_diags = [diagonals_of(g) for g in stc_groups]
+        self.cts_diags, self.stc_diags, self.bs = self._transform_plan(
+            n, self.cfg)
         self.q0 = float(ctx.qs[0])
-
-        maxd = max(len(d) for d in self.cts_diags + self.stc_diags)
-        self.bs = self.cfg.bs or (1 << max(1, int(math.ceil(
-            math.log2(max(2, maxd)) / 2))))
 
         # --- EvalMod Chebyshev ----------------------------------------
         r = self.cfg.double_angles
@@ -80,6 +70,32 @@ class Bootstrapper:
         self.poly = PolyEvaluator(ev)
 
     # -- key requirements --------------------------------------------------
+
+    @staticmethod
+    def _transform_plan(n: int, cfg: BootConfig):
+        """(cts_diags, stc_diags, bs) for ring dim n — host-only, no keys."""
+        P, fwd_stages = special_fft_stages(n)
+        cts_groups = group_stages(special_ifft_stages(n),
+                                  cfg.level_budget[0])
+        stc_groups = group_stages([P] + fwd_stages, cfg.level_budget[1])
+        cts_diags = [diagonals_of(g) for g in cts_groups]
+        stc_diags = [diagonals_of(g) for g in stc_groups]
+        maxd = max(len(d) for d in cts_diags + stc_diags)
+        bs = cfg.bs or (1 << max(1, int(math.ceil(
+            math.log2(max(2, maxd)) / 2))))
+        return cts_diags, stc_diags, bs
+
+    @classmethod
+    def rotations_for(cls, n: int, cfg: BootConfig | None = None):
+        """Rotation-key shifts bootstrapping needs at ring dim n — callable
+        BEFORE keygen (the reference's generate_bootstrapping_and_rotation_
+        keys ordering, FHEController.cpp:265-273)."""
+        cfg = cfg or BootConfig()
+        cts, stc, bs = cls._transform_plan(n, cfg)
+        need = set()
+        for dg in cts + stc:
+            need |= PackedOps.bsgs_required_rotations(dg.keys(), bs, n // 2)
+        return tuple(sorted(need))
 
     def required_rotations(self):
         need = set()

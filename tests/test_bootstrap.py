@@ -17,30 +17,13 @@ CFG = CKKSConfig(n=256, scale_bits=26, num_scaling=28, dnum=4, seed=7,
 @pytest.fixture(scope="module")
 def boot_setup():
     ctx = Context(CFG)
-    bs = Bootstrapper.__new__(Bootstrapper)  # need rotations before keys
-    # build transform tables only to ask for required rotations
-    ev_probe = None
     cfg = BootConfig(level_budget=(2, 2), K=8, sin_degree=119,
                      double_angles=1)
-    # temporary full init with a keyless evaluator is circular; instead
-    # construct the Bootstrapper after keygen using its static rotation set
-    tmp = object.__new__(Bootstrapper)
-    tmp.cfg = cfg
-    from fhe_linformer_tpu.boot.transform import (
-        special_fft_stages, special_ifft_stages, group_stages, diagonals_of)
-    import math
-    P, fwd = special_fft_stages(CFG.n)
-    tmp.M = CFG.slots
-    tmp.cts_diags = [diagonals_of(g) for g in
-                     group_stages(special_ifft_stages(CFG.n), 2)]
-    tmp.stc_diags = [diagonals_of(g) for g in group_stages([P] + fwd, 2)]
-    maxd = max(len(d) for d in tmp.cts_diags + tmp.stc_diags)
-    tmp.bs = 1 << max(1, int(math.ceil(math.log2(max(2, maxd)) / 2)))
-    rots = Bootstrapper.required_rotations(tmp)
+    rots = Bootstrapper.rotations_for(CFG.n, cfg)
     keys = generate_keys(ctx, rotations=rots, conj=True)
     ev = Evaluator(ctx, keys)
     booter = Bootstrapper(ev, cfg)
-    assert booter.bs == tmp.bs
+    assert booter.required_rotations() == rots
     return ev, booter
 
 

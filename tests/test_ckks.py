@@ -127,3 +127,19 @@ def test_batched_ciphertexts(ev):
     rot = ev.rotate(ct, 2)
     np.testing.assert_allclose(np.real(ev.decrypt(rot)),
                                np.roll(vals, -2, axis=-1), atol=1e-3)
+
+
+def test_galois_perm_factored_matches_flat():
+    """GaloisPerm (lane gather + row rolls + row gather) == flat gather
+    for every rotation exponent family incl. conjugation (context.py)."""
+    import jax.numpy as jnp
+    from fhe_linformer_tpu.ckks.evaluator import _apply_gperm
+    ctx = Context(CFG)
+    n = CFG.n
+    v = np.arange(3 * n, dtype=np.uint32).reshape(3, n)
+    for t in [ctx.galois_t(1), ctx.galois_t(-7), ctx.galois_t(5),
+              ctx.conj_t()]:
+        perm = np.asarray(ctx.galois_perm(t))
+        got = np.asarray(_apply_gperm(jnp.asarray(v),
+                                      ctx.galois_perm_factored(t)))
+        np.testing.assert_array_equal(got, v[..., perm])
