@@ -153,3 +153,43 @@ def test_all_reference_corpus_loaders_present():
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         LOADERS["R8"]("/nonexistent")
+
+
+def test_bert_tiny_exporter(tmp_path):
+    """weights-sst2 export contract (reference src/python/test.py)."""
+    from fhe_linformer_tpu.io.bert_export import export_bert_tiny
+    rng = np.random.default_rng(7)
+    d, ffn = 8, 32
+    sd = {"bert.pooler.dense.weight": rng.normal(size=(d, d)),
+          "bert.pooler.dense.bias": rng.normal(size=d),
+          "classifier.weight": rng.normal(size=(2, d)),
+          "classifier.bias": rng.normal(size=2)}
+    for part, shape in [("attention.self.query", (d, d)),
+                        ("attention.self.key", (d, d)),
+                        ("attention.self.value", (d, d)),
+                        ("attention.output.dense", (d, d)),
+                        ("intermediate.dense", (ffn, d)),
+                        ("output.dense", (d, ffn))]:
+        sd[f"bert.encoder.layer.0.{part}.weight"] = rng.normal(size=shape)
+        sd[f"bert.encoder.layer.0.{part}.bias"] = rng.normal(size=shape[0])
+    for ln in ("attention.output.LayerNorm", "output.LayerNorm"):
+        sd[f"bert.encoder.layer.0.{ln}.weight"] = rng.normal(size=d)
+        sd[f"bert.encoder.layer.0.{ln}.bias"] = rng.normal(size=d)
+    out = str(tmp_path / "weights-sst2")
+    written = export_bert_tiny({"state_dict": sd}, out)
+    # 4-way FFN splits reassemble to the original tensors
+    up = np.concatenate([read_values(os.path.join(out,
+        f"layer0_intermediate_weight{k}.txt")).reshape(ffn // 4, d)
+        for k in (1, 2, 3, 4)], axis=0)
+    np.testing.assert_allclose(
+        up, sd["bert.encoder.layer.0.intermediate.dense.weight"])
+    down = np.concatenate([read_values(os.path.join(out,
+        f"layer0_output_weight{k}.txt")).reshape(d, ffn // 4)
+        for k in (1, 2, 3, 4)], axis=1)
+    np.testing.assert_allclose(
+        down, sd["bert.encoder.layer.0.output.dense.weight"])
+    zeros = read_values(os.path.join(out, "layer0_output_mean.txt"))
+    assert zeros.shape == (d,) and not zeros.any()
+    for req in ("pooler_dense_weight.txt", "classifier_bias.txt",
+                "layer0_selfoutput_vy.txt", "layer0_attself_query_bias.txt"):
+        assert req in written and os.path.exists(os.path.join(out, req))
