@@ -1,8 +1,19 @@
 """Full-scale encrypted Linformer layer timing on the real chip (d=128,
-k_lin=32, S=128 tokens, N=2^15) — per-stage numbers behind the headline
-(not driver-run; see bench.py for the one-line metric).
+k_lin=32, N=2^15) — per-stage numbers behind the headline (not driver-run;
+see bench.py for the one-line metric).
 
-Measured (v5e-1, warm): attention 1.09 s for 128 tokens.
+Modes:
+  python bench_layer.py [S]          — no-bootstrap chain (deep modulus,
+                                       reduced-degree gadgets), S tokens
+  python bench_layer.py [S] --boot   — the production path: linformer-boot
+                                       preset, bootstrap hooks at mid-exp /
+                                       affine1 / post-GELU / affine2
+                                       (reference main_2.cpp:274-319), low
+                                       input level, decrypt-verified vs the
+                                       plaintext golden model
+
+Writes bench_layer_S{S}[_boot].json with stage seconds + key-switch
+counts (the north-star per-primitive metric).
 """
 
 import json
@@ -12,79 +23,155 @@ import time
 import numpy as np
 
 
-def main(S=128, num_scaling=44, full=True):
+def _calibrated(w, emb, inv_degree, gelu_degree, tanh_degree, exp_pow8):
+    from fhe_linformer_tpu.models import golden
+    from fhe_linformer_tpu.models.circuit import CircuitParams
+    _, inter = golden.forward(w, emb, return_intermediates=True)
+    x1 = inter["norm1"]
+    rowsum = inter["exp"].sum(-1)
+    return CircuitParams(
+        inv_range=(0.5 * rowsum.min(), 1.5 * rowsum.max()),
+        inv_degree=inv_degree, gelu_degree=gelu_degree,
+        tanh_degree=tanh_degree,
+        gelu_clip=1.0 / (1.2 * np.abs(x1 @ w.W1.T + w.B1[None]).max()),
+        tanh_scale=1.0 / (1.2 * np.abs(
+            inter["norm2"][:1] @ w.Wp.T + w.bp[None]).max()),
+        exp_pow8=exp_pow8,
+    ), inter
+
+
+def main(S=128, boot=False, num_scaling=44, full=True):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fhe_tpu_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from fhe_linformer_tpu.ckks import (CKKSConfig, Context, Evaluator,
                                         generate_keys)
     from fhe_linformer_tpu.models import golden
-    from fhe_linformer_tpu.models.circuit import CircuitParams, EncryptedLinformer
+    from fhe_linformer_tpu.models.circuit import EncryptedLinformer
+    from fhe_linformer_tpu.utils.timing import GLOBAL_TIMERS
 
     t0 = time.time()
-    cfg = CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=num_scaling, dnum=4)
+    if boot:
+        from fhe_linformer_tpu.config import get
+        from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
+        cfg = get("linformer-boot").ckks
+    else:
+        cfg = CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=num_scaling,
+                         dnum=4)
     ctx = Context(cfg)
     print(f"context {time.time()-t0:.1f}s basis={len(ctx.basis)}", flush=True)
 
-    rots = []
+    rots = set()
     s = 1
     while s < cfg.slots:
-        rots += [s, -s]
+        rots |= {s, -s}
         s *= 2
+    bootcfg = None
+    if boot:
+        bootcfg = BootConfig()
+        rots |= set(Bootstrapper.rotations_for(cfg.n, bootcfg))
     t0 = time.time()
-    keys = generate_keys(ctx, rotations=tuple(rots))
+    keys = generate_keys(ctx, rotations=tuple(sorted(rots)), conj=boot)
     print(f"keys {time.time()-t0:.1f}s ({len(rots)} rotations)", flush=True)
     ev = Evaluator(ctx, keys)
+    booter = None
+    if boot:
+        t0 = time.time()
+        booter = Bootstrapper(ev, bootcfg)
+        print(f"bootstrapper {time.time()-t0:.1f}s", flush=True)
 
     w = golden.random_weights(d=128, k_lin=32, d_ffn=512, n_classes=20,
                               max_seq=S + 4, seed=3, scale=0.3)
-    params = CircuitParams(inv_degree=27, gelu_degree=27, tanh_degree=27,
-                           inv_range=(0.5, 64.0))
-    circ = EncryptedLinformer(ev, w, params)
     rng = np.random.default_rng(0)
     emb = rng.normal(0, 0.3, (S - 1, 128))
+    deg = 119 if boot else 27
+    params, inter = _calibrated(w, emb, inv_degree=deg, gelu_degree=deg,
+                                tanh_degree=247 if boot else 27,
+                                exp_pow8=False)
+    circ = EncryptedLinformer(ev, w, params)
 
     t0 = time.time()
-    x_cts, xe, xf, S_total = circ.encrypt_inputs(emb)
+    input_nl = 10 if boot else None
+    x_cts, xe, xf, S_total = circ.encrypt_inputs(emb, nl=input_nl)
     x_cts.c0.block_until_ready()
-    print(f"encrypt_inputs {time.time()-t0:.1f}s S_total={S_total}", flush=True)
+    print(f"encrypt_inputs {time.time()-t0:.1f}s S_total={S_total} "
+          f"nl={x_cts.nl}", flush=True)
 
-    results = {}
+    results = {"S_total": S_total, "boot": boot, "basis": len(ctx.basis)}
 
     def stage(name, f, *a, **k):
         t0 = time.time()
         out = f(*a, **k)
         out.c0.block_until_ready()
         t_first = time.time() - t0
+        ks0 = GLOBAL_TIMERS.counts["keyswitch"]
+        b0 = GLOBAL_TIMERS.counts["bootstrap"]
         t0 = time.time()
         out2 = f(*a, **k)
         out2.c0.block_until_ready()
         t_warm = time.time() - t0
         results[name] = round(t_warm, 3)
+        results[f"{name}_keyswitches"] = GLOBAL_TIMERS.counts["keyswitch"] - ks0
+        nb = GLOBAL_TIMERS.counts["bootstrap"] - b0
+        if nb:
+            results[f"{name}_bootstraps"] = nb
         print(f"{name}: first {t_first:.1f}s warm {t_warm:.2f}s "
-              f"(out nl={out2.nl})", flush=True)
+              f"(out nl={out2.nl}, {results[f'{name}_keyswitches']} ks"
+              f"{', %d boots' % nb if nb else ''})", flush=True)
         return out2
 
-    attn = stage("attention", circ.attention, x_cts, xe, xf, S_total)
+    attn = stage("attention", circ.attention, x_cts, xe, xf, S_total,
+                 boot=booter)
     if full:
         wrapped = stage("wrap1", circ.wrap_tokens, attn)
         wrapped = stage("affine1", circ.affine, wrapped, w.a1, w.b1, w.c1,
                         S_total)
+        if booter is not None:
+            wrapped = stage("boot1", booter.bootstrap, wrapped)
+            # drop to exactly the depth the FFN segment needs before
+            # materializing the S-token unwrap (HBM: levels x tokens)
+            wrapped = ev.drop_to(wrapped, min(wrapped.nl, 16))
         x2 = stage("unwrap1", circ.unwrap_tokens, wrapped, S_total)
-        y = stage("ffn_gelu", circ.ffn, x2)
+        y = stage("ffn_gelu", circ.ffn, x2, boot=booter,
+                  token_chunk=128 if S_total > 128 else None)
         x2m, ym = ev.match(x2, y)
         res = ev.add(x2m, ym)
         wrapped2 = circ.wrap_tokens(res)
         wrapped2 = circ.affine(wrapped2, w.a2, w.b2, w.c2, S_total)
-        x3 = stage("unwrap2", circ.unwrap_tokens, wrapped2, S_total)
+        if booter is not None:
+            wrapped2 = stage("boot2", booter.bootstrap, wrapped2)
+        # only the CLS token feeds the pooler/classifier
+        x3 = stage("unwrap2", circ.unwrap_tokens, wrapped2, S_total,
+                   count=1)
         cls_ct = x3.with_data(x3.c0[0], x3.c1[0])
-        out = stage("pooler_classifier", circ.pooler_classifier, cls_ct)
-        total = sum(results.values())
+        out = stage("pooler_classifier", circ.pooler_classifier, cls_ct,
+                    boot=booter)
+        total = sum(v for k, v in results.items()
+                    if isinstance(v, float))
         results["layer_total_warm_s"] = round(total, 3)
-        print(f"LAYER TOTAL (warm, single chip, S={S_total}): {total:.2f}s",
+        results["layer_keyswitches"] = sum(
+            v for k, v in results.items() if k.endswith("_keyswitches"))
+        results["layer_bootstraps"] = sum(
+            v for k, v in results.items() if k.endswith("_bootstraps"))
+        print(f"LAYER TOTAL (warm, single chip, S={S_total}): {total:.2f}s, "
+              f"{results['layer_keyswitches']} key switches, "
+              f"{results['layer_bootstraps']} bootstraps", flush=True)
+        # decrypt verification vs golden (the reference's manual
+        # decrypt-probe diffing, automated)
+        logits = circ.decrypt_logits(out)
+        want = inter["logits"]
+        err = float(np.max(np.abs(logits - want)))
+        ok = bool(np.argmax(logits) == np.argmax(want)) and np.isfinite(err)
+        results["logits_max_err"] = round(err, 5)
+        results["argmax_matches_golden"] = ok
+        print(f"decrypt check: argmax match={ok}, max|err|={err:.4g}",
               flush=True)
+    name = f"bench_layer_S{S}{'_boot' if boot else ''}.json"
+    with open(name, "w") as f:
+        json.dump(results, f, indent=1)
     print(json.dumps(results))
 
 
 if __name__ == "__main__":
-    main(S=int(sys.argv[1]) if len(sys.argv) > 1 else 128)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(S=int(args[0]) if args else 128, boot="--boot" in sys.argv)

@@ -73,11 +73,22 @@ class Bootstrapper:
 
     @staticmethod
     def _transform_plan(n: int, cfg: BootConfig):
-        """(cts_diags, stc_diags, bs) for ring dim n — host-only, no keys."""
+        """(cts_diags, stc_diags, bs) for ring dim n — host-only, no keys.
+
+        The bit-reversal permutation P is dropped from BOTH transforms:
+        CtS runs the inverse butterflies only (slot output lands in
+        bit-reversed order), EvalMod is slot-elementwise (order-blind),
+        and StC's forward butterflies consume exactly that bit-reversed
+        order — P^-1 . f . P = f, so the permutations cancel.  This is
+        what makes the production ring feasible: at M = 16384 / budget
+        {3,3} the grouped butterfly matrices have [32, 63, 31] / [63, 63,
+        16] generalized diagonals, while a group containing P has 11472
+        (measured; a P-group is BSGS-intractable).  Same reason OpenFHE's
+        EvalBootstrap keeps its FFT stages permutation-free."""
         P, fwd_stages = special_fft_stages(n)
-        cts_groups = group_stages(special_ifft_stages(n),
+        cts_groups = group_stages(special_ifft_stages(n)[:-1],
                                   cfg.level_budget[0])
-        stc_groups = group_stages([P] + fwd_stages, cfg.level_budget[1])
+        stc_groups = group_stages(fwd_stages, cfg.level_budget[1])
         cts_diags = [diagonals_of(g) for g in cts_groups]
         stc_diags = [diagonals_of(g) for g in stc_groups]
         maxd = max(len(d) for d in cts_diags + stc_diags)
@@ -206,6 +217,11 @@ class Bootstrapper:
     def bootstrap(self, ct: Ciphertext) -> Ciphertext:
         """Refresh a depleted ciphertext to the full chain minus the boot
         depth (EvalBootstrap parity)."""
+        from ..utils.timing import GLOBAL_TIMERS
+        b = 1
+        for x in ct.c0.shape[:-2]:
+            b *= int(x)
+        GLOBAL_TIMERS.count("bootstrap", b)
         s_in = ct.scale
         raised = self.mod_raise(ct)
         enc = self.coeffs_to_slots(raised)

@@ -25,10 +25,21 @@ import jax.numpy as jnp
 _OWNSKIP = os.environ.get("FHE_KS_OWNSKIP", "1") == "1"
 
 from ..ops import modarith as ma
+from ..utils.timing import GLOBAL_TIMERS as _COUNTS
 from .context import Context
 from .ciphertext import Ciphertext, Plaintext
 from .encoding import Encoder
 from .keys import KeySet, KSKey, rns_residues
+
+
+def _nct(ct: Ciphertext) -> int:
+    """Ciphertext count of a batched ct — the unit the reference's per-ct
+    loops (and its timing prints) count in."""
+    b = ct.c0.shape[:-2]
+    out = 1
+    for x in b:
+        out *= int(x)
+    return out
 
 
 def _prod(xs):
@@ -292,6 +303,7 @@ class Evaluator:
 
     def mul_plain(self, ct: Ciphertext, pt: Plaintext,
                   rescale: bool = True) -> Ciphertext:
+        _COUNTS.count("ctpt_mult", _nct(ct))
         pt = self._pt_to(pt, ct.nl)
         q, mu, sh = self.ctx.mod_consts(self.ctx.limb_idx(ct.nl))
         if pt.shoup is not None:
@@ -330,6 +342,7 @@ class Evaluator:
         ctx = self.ctx
         nl = ct.nl
         assert nl >= 2, "no scaling limb left to drop"
+        _COUNTS.count("rescale", _nct(ct))
         plan = ctx.rescale_tables(nl)
 
         def f(part):
@@ -351,6 +364,8 @@ class Evaluator:
     def mul(self, a: Ciphertext, b: Ciphertext, rescale: bool = True) -> Ciphertext:
         """ct*ct with relinearization (EvalMult + EvalMultKeyGen path)."""
         a, b = self._align_mult(a, b)
+        _COUNTS.count("ctct_mult", _nct(a))
+        _COUNTS.count("keyswitch", _nct(a))
         nl = a.nl
         ks = self.ctx.ks_tables(nl)
         kb, ka = self._sliced_key(self.keys.relin, nl)
@@ -421,6 +436,8 @@ class Evaluator:
                 continue
             key = self.keys.rot.get(rr) or self.keys.rot.get(rr - ctx.cfg.slots)
             assert key is not None, f"no rotation key for shift {r}"
+            _COUNTS.count("rotation_hoisted", _nct(ct))
+            _COUNTS.count("keyswitch", _nct(ct))
             kb, ka = self._sliced_key(key, nl)
             gp = ctx.galois_perm_factored(ctx.galois_t(r))
             c0, c1 = _hoist_rotate_core(ct.c0, y_e, gp, kb, ka, ks)
@@ -430,6 +447,8 @@ class Evaluator:
     def _galois(self, ct: Ciphertext, t: int, key: KSKey) -> Ciphertext:
         ctx = self.ctx
         nl = ct.nl
+        _COUNTS.count("rotation", _nct(ct))
+        _COUNTS.count("keyswitch", _nct(ct))
         gp = ctx.galois_perm_factored(t)
         ks = ctx.ks_tables(nl)
         kb, ka = self._sliced_key(key, nl)

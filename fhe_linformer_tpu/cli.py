@@ -26,21 +26,36 @@ def _build_context(preset_name: str):
     return p, Context(p.ckks)
 
 
+def _preset_rotations(p, ctx) -> tuple:
+    """Rotation shifts the preset's circuit needs: power-of-two trees both
+    signs (rotsum/repeat/interleave) plus — when the preset bootstraps —
+    the CtS/StC BSGS shifts from Bootstrapper.rotations_for (the
+    reference's generate_bootstrapping_and_rotation_keys ordering,
+    FHEController.cpp:265-273: rotation requirements are known before any
+    key exists)."""
+    rots = set()
+    s = 1
+    while s < ctx.cfg.slots:
+        rots |= {s, -s}
+        s *= 2
+    if p.bootstrap:
+        from .boot.bootstrap import Bootstrapper
+        rots |= set(Bootstrapper.rotations_for(ctx.cfg.n))
+    return tuple(sorted(rots))
+
+
 def cmd_keygen(args):
     from .ckks import Evaluator, generate_keys
     from .io.serialize import save_keys
     p, ctx = _build_context(args.preset)
-    rots = []
-    s = 1
-    while s < ctx.cfg.slots:
-        rots += [s, -s]
-        s *= 2
+    rots = _preset_rotations(p, ctx)
     t0 = time.time()
-    keys = generate_keys(ctx, rotations=tuple(rots), conj=True,
+    keys = generate_keys(ctx, rotations=rots, conj=True,
                          keep_secret=not args.secure)
     save_keys(args.keys_dir, keys, include_secret=not args.secure)
     print(f"keys -> {args.keys_dir} in {time.time() - t0:.1f}s "
-          f"(secret {'withheld' if args.secure else 'retained'})")
+          f"({len(rots)} rotations, secret "
+          f"{'withheld' if args.secure else 'retained'})")
 
 
 def cmd_golden(args):
@@ -69,12 +84,15 @@ def cmd_infer(args):
     from .io.weights import load_reference_weights
     from .client.pipeline import load_sample_embeddings, softmax_argmax
     p, ctx = _build_context(args.preset)
-    rots = []
-    s = 1
-    while s < ctx.cfg.slots:
-        rots += [s, -s]
-        s *= 2
-    keys = generate_keys(ctx, rotations=tuple(rots))
+    if args.keys_dir:
+        # persisted key store (the reference's load_context flow,
+        # FHEController.cpp:184-235 + rotation keys :275-301): no key
+        # generation happens on this path
+        from .io.serialize import load_keys
+        keys = load_keys(args.keys_dir, ctx)
+    else:
+        keys = generate_keys(ctx, rotations=_preset_rotations(p, ctx),
+                             conj=p.bootstrap)
     ev = Evaluator(ctx, keys)
     if args.weights_dir:
         w = load_reference_weights(args.weights_dir, d=p.d, k_lin=p.k_lin,
@@ -168,6 +186,9 @@ def main(argv=None):
 
     inf = sub.add_parser("infer")
     inf.add_argument("--preset", default="tiny")
+    inf.add_argument("--keys-dir", default=None,
+                     help="load persisted keys from a keygen dir instead "
+                          "of regenerating")
     inf.add_argument("--weights-dir", default=None)
     inf.add_argument("--sample-dir", required=True)
     inf.add_argument("--cls-only", action="store_true")

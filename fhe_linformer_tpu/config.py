@@ -60,15 +60,19 @@ _reg(Preset(
     ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=30, dnum=5),
 ))
 
-# config 4: full single-layer Linformer forward with bootstrapping
+# config 4: full single-layer Linformer forward with bootstrapping.
 # dnum=3 measured ~1.5x keyswitch throughput of the reference's 4
-# (tools/ab_dnum.py) with unchanged bootstrap precision (6.9 vs 7.2 bits
-# on the small-ring pipeline) — the extra special prime keeps QP inside
-# the 128-bit classical bound (tests/test_security.py)
+# (tools/ab_dnum.py) with unchanged bootstrap precision.
+# num_scaling=44: the production bootstrap (budget {3,3}, deg-119 sine,
+# 3 double angles) consumes 24 levels (measured, tools/boot_full.py),
+# leaving ~20 usable between refreshes — enough for the deepest circuit
+# segment (post-mid-exp-boot: pow8 + deg-119 inverse + value mix + WO +
+# affine, ~19 levels).  The reference runs 12 usable levels at 52-bit
+# primes (FHEController.cpp:29); ours are 26-bit, so more/shallower limbs.
 _reg(Preset(
     name="linformer-boot",
     desc="full single-layer encrypted Linformer with bootstrapping (R8)",
-    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=20, dnum=3,
+    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=44, dnum=3,
                     secret_hw=32),
     bootstrap=True,
 ))
@@ -77,7 +81,7 @@ _reg(Preset(
 _reg(Preset(
     name="multi-layer",
     desc="multi-layer encrypted Linformer classification end-to-end",
-    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=20, dnum=3,
+    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=44, dnum=3,
                     secret_hw=32),
     layers=2,
     bootstrap=True,

@@ -6,9 +6,11 @@ files (:250-301), and mid-circuit ciphertext checkpoints
 (save/load_ciphertext/load_vector, :1360-1394, used by the encoder-output
 resume path main.cpp:92-107).
 
-Format: a small JSON header + raw little-endian u32 pages.  When the
-native codec (native/fastio) is built it does the file IO + checksum in
-C++; otherwise numpy handles it — same on-disk format either way.
+Format: a small JSON header + u32 pages.  When the native codec
+(native/fastio.cpp, via io/native.py ctypes) is built, ciphertext pages go
+through its CRC32-checksummed C++ writer/reader as a sidecar `.pages`
+file; otherwise the pages inline into the header file via numpy.  Loaders
+accept either layout.
 """
 
 from __future__ import annotations
@@ -21,13 +23,9 @@ import numpy as np
 
 from ..ckks.ciphertext import Ciphertext
 from ..ckks.keys import KeySet, KSKey, PublicKey, SecretKey
+from . import native as _native
 
 MAGIC = b"FHETPU01"
-
-try:
-    from ..io import fastio_native as _native
-except Exception:
-    _native = None
 
 
 def _write_blob(f, arr: np.ndarray):
@@ -45,14 +43,23 @@ def _read_blob(f) -> np.ndarray:
 
 
 def save_ciphertext(path: str, ct: Ciphertext):
-    meta = {"nl": ct.nl, "scale": ct.scale}
+    c0 = np.asarray(ct.c0)
+    c1 = np.asarray(ct.c1)
+    meta = {"nl": ct.nl, "scale": ct.scale, "shape": list(c0.shape)}
+    # native CRC-checksummed page file (fastio.cpp write_blob_u32) when the
+    # toolchain built it; numpy-inline fallback keeps the format readable
+    # everywhere
+    pages = np.concatenate([c0.reshape(-1), c1.reshape(-1)])
+    meta["pages"] = "native" if _native.write_blob(path + ".pages", pages) \
+        else "inline"
     with open(path, "wb") as f:
         f.write(MAGIC)
         hdr = json.dumps(meta).encode()
         f.write(struct.pack("<I", len(hdr)))
         f.write(hdr)
-        _write_blob(f, np.asarray(ct.c0))
-        _write_blob(f, np.asarray(ct.c1))
+        if meta["pages"] == "inline":
+            _write_blob(f, c0)
+            _write_blob(f, c1)
 
 
 def load_ciphertext(path: str) -> Ciphertext:
@@ -61,8 +68,15 @@ def load_ciphertext(path: str) -> Ciphertext:
         assert f.read(8) == MAGIC, "bad ciphertext file"
         ln = struct.unpack("<I", f.read(4))[0]
         meta = json.loads(f.read(ln))
-        c0 = _read_blob(f)
-        c1 = _read_blob(f)
+        if meta.get("pages") == "native":
+            flat = _native.read_blob(path + ".pages")
+            shape = tuple(meta["shape"])
+            half = flat.size // 2
+            c0 = flat[:half].reshape(shape)
+            c1 = flat[half:].reshape(shape)
+        else:
+            c0 = _read_blob(f)
+            c1 = _read_blob(f)
     return Ciphertext(jnp.asarray(c0), jnp.asarray(c1),
                       int(meta["nl"]), float(meta["scale"]))
 

@@ -69,16 +69,21 @@ class EncryptedLinformer:
 
     # -- client-side input preparation ---------------------------------
 
-    def encrypt_inputs(self, emb: np.ndarray):
+    def encrypt_inputs(self, emb: np.ndarray, nl: int | None = None):
         """Token embeddings (S, d) -> encrypted (x, XE, XF) batches in
-        expanded layout (read_expanded_input parity, batched)."""
+        expanded layout (read_expanded_input parity, batched).  `nl`
+        encrypts at a reduced level — the reference's read_*_input level
+        arguments (FHEController.cpp:501-698); with bootstrapping in the
+        circuit this is also the HBM lever: at S=700 a full-chain token
+        batch is ~7 GB, a 10-level one ~1.6 GB."""
         w, ops, ev = self.w, self.ops, self.ev
         x_in, X_E, X_F = client_preprocess(w, emb)
         xs = np.stack([ops.expanded_slots(row) for row in x_in])
         es = np.stack([ops.expanded_slots(row) for row in X_E])
         fs = np.stack([ops.expanded_slots(row) for row in X_F])
-        return (ev.encrypt(xs, batch=True), ev.encrypt(es, batch=True),
-                ev.encrypt(fs, batch=True), x_in.shape[0])
+        return (ev.encrypt(xs, batch=True, nl=nl),
+                ev.encrypt(es, batch=True, nl=nl),
+                ev.encrypt(fs, batch=True, nl=nl), x_in.shape[0])
 
     # -- circuit stages -------------------------------------------------
 
@@ -94,9 +99,12 @@ class EncryptedLinformer:
             out = ev.add_plain(out, pt)
         return out
 
-    def attention(self, x_cts, xe_cts, xf_cts, S_total, cls_only=False):
+    def attention(self, x_cts, xe_cts, xf_cts, S_total, cls_only=False,
+                  boot=None):
         """Scores + poly-softmax + value mix + output proj (+ residual).
-        Returns per-token expanded-dirty cts (lane 0 of block j = dim j)."""
+        Returns per-token expanded-dirty cts (lane 0 of block j = dim j).
+        `boot` enables the reference's conditional mid-exp refresh
+        (FHEController.cpp:1293-1295) when levels run short."""
         ev, ops, w, p = self.ev, self.ops, self.w, self.p
         d, nb = ops.d, ops.nb
 
@@ -126,7 +134,12 @@ class EncryptedLinformer:
             chunks.append(sc)
         scores = _stack(chunks)                      # (nchunk, ...) batch
 
-        scores = self.g.eval_exp(scores, pow8=p.exp_pow8)  # exp(s*r), batched
+        # depth the rest of attention needs after the Taylor: power-raise
+        # (3) + deg-d inverse Chebyshev + mix/proj/affine tail (~6)
+        from ..poly.gadgets import relu_degree_depth
+        need = 3 + relu_degree_depth(p.inv_degree) + 6
+        scores = self.g.eval_exp(scores, pow8=p.exp_pow8, boot=boot,
+                                 boot_below=need)  # exp(s*r), batched
         ssum = ops.rotsum(scores, self.w.k_lin, d)   # row sums over k blocks
         inv = self.g.eval_inverse(ssum, *p.inv_range, degree=p.inv_degree)
         attn = ev.mul(scores, inv)
@@ -192,12 +205,18 @@ class EncryptedLinformer:
             outs.append(ops.interleave_batch(part, stride=1))
         return _stack(outs)
 
-    def unwrap_tokens(self, wrapped: Ciphertext, S_total: int) -> Ciphertext:
-        """Chunked wrapped cts -> (S, ...) expanded batch."""
+    def unwrap_tokens(self, wrapped: Ciphertext, S_total: int,
+                      count: int | None = None) -> Ciphertext:
+        """Chunked wrapped cts -> (S, ...) expanded batch.  `count` unwraps
+        only the first `count` tokens (e.g. count=1 extracts just the CLS
+        ct for the pooler — at S=700 a full unwrap is a ~4 GB batch the
+        classifier never reads)."""
         ops = self.ops
         outs = []
-        left = S_total
+        left = S_total if count is None else min(count, S_total)
         for c in range(wrapped.c0.shape[0]):
+            if left <= 0:
+                break
             one = wrapped.with_data(wrapped.c0[c], wrapped.c1[c])
             mq = min(ops.d, left)
             ev = self.ev
@@ -209,7 +228,8 @@ class EncryptedLinformer:
             left -= mq
         return _stack_cat(outs)
 
-    def ffn(self, x_cts: Ciphertext, use_containers: bool = True) -> Ciphertext:
+    def ffn(self, x_cts: Ciphertext, use_containers: bool = True,
+            boot=None, token_chunk: int | None = None) -> Ciphertext:
         """FFN up (d->d_ffn in d-blocks) + GELU + down (d_ffn->d).
         x_cts: (S, ...) expanded.  Returns (S, ...) expanded-dirty.
 
@@ -218,9 +238,31 @@ class EncryptedLinformer:
         reference's 32-token/512-wide containers
         (FHEController.cpp:1164-1205), built here with the batched log-tree
         instead of per-token rotate chains.  The deg-119 Chebyshev then
-        touches ~d/nblk times fewer ciphertexts."""
+        touches ~d/nblk times fewer ciphertexts.
+
+        `boot` refreshes the containers right after GELU (the reference's
+        per-container bootstrap, main_2.cpp:315-319) — here ONE batched
+        bootstrap call over all ceil(nblk*S*d/slots) containers.
+
+        `token_chunk` processes the token batch in chunks of that size:
+        the up-projection holds nblk cts per token at high level, which at
+        S=700 would be a ~14 GB live array — chunking caps peak HBM at
+        ~nblk*chunk cts while leaving per-token math identical (the
+        reference's two-stream Q chunking, main_2.cpp:187-221, applied to
+        the FFN)."""
         ev, ops, w, p = self.ev, self.ops, self.w, self.p
         d, nb = ops.d, ops.nb
+        S_in = x_cts.c0.shape[0]
+        if token_chunk and S_in > token_chunk:
+            # every chunk must take the same (container) path so outputs
+            # land on identical (nl, scale)
+            assert token_chunk * (w.W1.shape[0] // d) > ops.slots // d
+            outs = []
+            for s in range(0, S_in, token_chunk):
+                part = x_cts.with_data(x_cts.c0[s: s + token_chunk],
+                                       x_cts.c1[s: s + token_chunk])
+                outs.append(self.ffn(part, use_containers, boot))
+            return _stack_cat(outs)
         nblk = w.W1.shape[0] // d
         import jax.numpy as jnp
         # up-projection: batch over (nblk, S)
@@ -259,6 +301,8 @@ class EncryptedLinformer:
             packed = _stack(conts)             # (ncont, ...) containers
             packed = self.g.eval_gelu(packed, -1.0, 1.0, mult=p.gelu_clip,
                                       degree=p.gelu_degree)
+            if boot is not None:
+                packed = boot.bootstrap(packed)
             # unpack: batch j of container c = piece c*G + j
             outs = []
             for c in range(packed.c0.shape[0]):
@@ -277,6 +321,8 @@ class EncryptedLinformer:
         else:
             h = self.g.eval_gelu(h, -1.0, 1.0, mult=p.gelu_clip,
                                  degree=p.gelu_degree)
+            if boot is not None:
+                h = boot.bootstrap(h)
         # down-projection: sum_b W2[:, b-block] @ h_b  (CR layout per block)
         acc = None
         for bkt in range(nblk):
@@ -290,11 +336,18 @@ class EncryptedLinformer:
         b2 = ev.encode(ops.expanded_slots(w.B2), nl=out.nl, scale=out.scale)
         return ev.add_plain(out, b2)
 
-    def pooler_classifier(self, cls_ct: Ciphertext) -> Ciphertext:
-        """tanh pooler on CLS + linear head (main_2.cpp:382-427)."""
+    def pooler_classifier(self, cls_ct: Ciphertext,
+                          boot=None) -> Ciphertext:
+        """tanh pooler on CLS + linear head (main_2.cpp:382-427).  `boot`
+        refreshes before the deg-300 tanh when levels run short (the
+        reference bootstraps unconditionally here, main_2.cpp:390)."""
         ev, ops, w, p = self.ev, self.ops, self.w, self.p
         pooled = self._matmul_re_w(cls_ct, w.Wp, w.bp, "Wp",
                                    w_scale=p.tanh_scale)
+        from ..poly.gadgets import relu_degree_depth
+        if boot is not None and \
+                pooled.nl - 1 < relu_degree_depth(p.tanh_degree) + 3:
+            pooled = boot.bootstrap(pooled)
         pooled = self.g.eval_tanh(pooled, -1.0, 1.0, mult=p.tanh_scale,
                                   degree=p.tanh_degree)
         # classifier: CR layout (n_classes rows)
@@ -353,13 +406,13 @@ class EncryptedLinformer:
         Returns per-token expanded cts.  `boot` (a boot.Bootstrapper) is
         applied at the reference's refresh points (main_2.cpp:274-275,318)."""
         w = w or self.w
-        attn = self.attention(x_cts, xe, xf, S_total, cls_only)
+        attn = self.attention(x_cts, xe, xf, S_total, cls_only, boot=boot)
         wrapped = self.wrap_tokens(attn)
         wrapped = self.affine(wrapped, w.a1, w.b1, w.c1, S_total)
         if boot is not None:
             wrapped = boot.bootstrap(wrapped)
         x2 = self.unwrap_tokens(wrapped, S_total)
-        y = self.ffn(x2)
+        y = self.ffn(x2, boot=boot)
         x2m, ym = self.ev.match(x2, y)
         res = self.ev.add(x2m, ym)
         wrapped2 = self.wrap_tokens(res)
@@ -371,11 +424,12 @@ class EncryptedLinformer:
     # -- full forward ---------------------------------------------------
 
     def forward(self, emb: np.ndarray, cls_only: bool = False,
-                extra_layers: list | None = None, boot=None) -> Ciphertext:
+                extra_layers: list | None = None, boot=None,
+                input_nl: int | None = None) -> Ciphertext:
         """End-to-end encrypted forward.  extra_layers: LinformerWeights
         for layers 2..N — their K/V compression runs homomorphically via
         ef_project (config-5 multi-layer path)."""
-        x_cts, xe, xf, S_total = self.encrypt_inputs(emb)
+        x_cts, xe, xf, S_total = self.encrypt_inputs(emb, nl=input_nl)
         x = self.encoder_layer(x_cts, xe, xf, S_total, cls_only=cls_only,
                                boot=boot)
         for lw in (extra_layers or []):
@@ -388,7 +442,7 @@ class EncryptedLinformer:
             finally:
                 self.w = saved
         cls_ct = x.with_data(x.c0[0], x.c1[0])
-        return self.pooler_classifier(cls_ct)
+        return self.pooler_classifier(cls_ct, boot=boot)
 
     def decrypt_logits(self, out: Ciphertext) -> np.ndarray:
         """Client decode: stride-d logits -> softmax-able vector

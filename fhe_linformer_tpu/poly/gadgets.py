@@ -41,13 +41,20 @@ class Gadgets:
         self.poly = PolyEvaluator(ev)
 
     def eval_exp(self, ct: Ciphertext, mask_empty: np.ndarray | None = None,
-                 pow8: bool = True) -> Ciphertext:
+                 pow8: bool = True, boot=None,
+                 boot_below: int = 0) -> Ciphertext:
         """pow8=True: deg-6 Taylor of e^x then x^8 by three squarings —
         approximates e^(8x) (circuit mode, cpp:1289-1311).  pow8=False:
         the bare deg-6 Taylor (what the golden model computes).  Optional
-        additive mask turns the spurious exp(0)=1 in empty slots back to 0."""
+        additive mask turns the spurious exp(0)=1 in empty slots back to 0.
+
+        boot/boot_below: the reference's conditional mid-exp bootstrap
+        (cpp:1293-1295 — refresh between the Taylor and the power-raise
+        when the remaining levels can't cover the downstream chain)."""
         ev = self.ev
         t = self.poly.eval_poly(ct, EXP_TAYLOR_DEG6)
+        if boot is not None and t.nl - 1 < boot_below:
+            t = boot.bootstrap(t)
         if pow8:
             for _ in range(3):
                 t = ev.mul(t, t)

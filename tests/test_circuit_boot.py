@@ -1,0 +1,69 @@
+"""Bootstrapped encrypted forward vs golden (the reference's dominant
+path: encoder with refresh at affine points + per-container GELU boots +
+mid-exp conditional boot — main_2.cpp:274-275,315-319,390).
+
+Tiny-ring (n=256) so the whole pipeline runs on CPU in the default suite;
+the production-scale run of the SAME code path is tools/boot_full.py +
+bench_layer.py --boot on the real TPU."""
+
+import numpy as np
+import pytest
+
+from fhe_linformer_tpu.ckks import CKKSConfig, Context, Evaluator, generate_keys
+from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
+from fhe_linformer_tpu.models import golden
+from fhe_linformer_tpu.models.circuit import CircuitParams, EncryptedLinformer
+
+CFG = CKKSConfig(n=256, scale_bits=26, num_scaling=34, dnum=4, seed=21,
+                 secret_hw=8)
+BOOT = BootConfig(level_budget=(2, 2), K=8, sin_degree=59, double_angles=1)
+D, KLIN, FFN, NCLS = 8, 4, 32, 5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = Context(CFG)
+    rots = set(Bootstrapper.rotations_for(CFG.n, BOOT))
+    s = 1
+    while s < CFG.slots:
+        rots |= {s, -s}
+        s *= 2
+    keys = generate_keys(ctx, rotations=tuple(sorted(rots)), conj=True)
+    ev = Evaluator(ctx, keys)
+    booter = Bootstrapper(ev, BOOT)
+    w = golden.random_weights(d=D, k_lin=KLIN, d_ffn=FFN, n_classes=NCLS,
+                              max_seq=12, seed=5, scale=0.35)
+    return ev, booter, w
+
+
+def test_bootstrapped_layer_matches_golden(setup):
+    """Encrypt LOW (depleted inputs), run the full layer with bootstrap
+    hooks firing at mid-exp / affine1 / post-GELU / affine2, decrypt,
+    compare logits to the plaintext golden model."""
+    ev, booter, w = setup
+    rng = np.random.default_rng(11)
+    emb = rng.normal(0, 0.3, (4, D))
+    _, inter = golden.forward(w, emb, return_intermediates=True)
+    x1 = inter["norm1"]
+    params = CircuitParams(
+        inv_range=(0.5 * inter["exp"].sum(-1).min(),
+                   1.5 * inter["exp"].sum(-1).max()),
+        inv_degree=13, gelu_degree=13, tanh_degree=13,
+        gelu_clip=1.0 / (1.2 * np.abs(x1 @ w.W1.T + w.B1[None]).max()),
+        tanh_scale=1.0 / (1.2 * np.abs(
+            inter["norm2"][:1] @ w.Wp.T + w.bp[None]).max()),
+        exp_pow8=False,
+    )
+    circ = EncryptedLinformer(ev, w, params)
+    from fhe_linformer_tpu.utils.timing import GLOBAL_TIMERS
+    boots0 = GLOBAL_TIMERS.counts["bootstrap"]
+    # input_nl below the attention depth forces the mid-exp conditional
+    # boot to fire (FHEController.cpp:1293-1295 parity)
+    out = circ.forward(emb, boot=booter, input_nl=10)
+    n_boots = GLOBAL_TIMERS.counts["bootstrap"] - boots0
+    assert n_boots >= 3, f"bootstrap hooks did not fire: {n_boots}"
+    logits = circ.decrypt_logits(out)
+    want = inter["logits"]
+    assert np.all(np.isfinite(logits)), logits
+    assert int(np.argmax(logits)) == int(np.argmax(want)), (logits, want)
+    np.testing.assert_allclose(logits, want, atol=0.15)

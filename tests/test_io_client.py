@@ -68,11 +68,47 @@ def test_reference_weight_format_roundtrip(tmp_path):
                               max_seq=12, seed=9)
     d = str(tmp_path / "weights-20NG")
     save_reference_weights(d, w)
+    # on-disk names must be EXACTLY the reference's export layout
+    # (extract_parameters_numeric.py name mapping, loader names in
+    # compute_20ng_linformer_forward.py:131-161)
+    pfx = "linformer_transformerLayers_transformer0_"
+    for req in ("posEmb.txt", "cls_token.txt",
+                pfx + "selfAttn_E_weight.txt", pfx + "selfAttn_E_bias.txt",
+                pfx + "selfAttn_F_weight.txt",
+                pfx + "selfAttn_WQ_weight.txt", pfx + "ffn_Wffn_0_weight.txt",
+                pfx + "ffn_affine1_c0.txt",
+                "pooler_dense_weight.txt", "fcLinear_0_weight.txt"):
+        assert os.path.exists(os.path.join(d, req)), req
     back = load_reference_weights(d, d=8, k_lin=4, d_ffn=32, n_classes=5,
                                   max_seq=12)
     np.testing.assert_allclose(back.WQ, w.WQ)
     np.testing.assert_allclose(back.c1, w.c1)
     np.testing.assert_allclose(back.Wc, w.Wc)
+    np.testing.assert_allclose(back.E_w, w.E_w)
+    np.testing.assert_allclose(back.pos_emb, w.pos_emb)
+    np.testing.assert_allclose(back.cls_token, w.cls_token)
+
+
+def test_reference_weight_legacy_name_fallback(tmp_path):
+    """Round-1 fixture dirs (invented linformer_E_weight.txt etc.) still
+    load via the legacy fallback."""
+    w = golden.random_weights(d=8, k_lin=4, d_ffn=32, n_classes=5,
+                              max_seq=12, seed=10)
+    d = str(tmp_path / "w")
+    save_reference_weights(d, w)
+    pfx = "linformer_transformerLayers_transformer0_"
+    renames = {pfx + "selfAttn_E_weight.txt": "linformer_E_weight.txt",
+               pfx + "selfAttn_E_bias.txt": "linformer_E_bias.txt",
+               pfx + "selfAttn_F_weight.txt": "linformer_F_weight.txt",
+               pfx + "selfAttn_F_bias.txt": "linformer_F_bias.txt",
+               "posEmb.txt": "linformer_posEmb.txt",
+               "cls_token.txt": "linformer_clsToken.txt"}
+    for new, old in renames.items():
+        os.rename(os.path.join(d, new), os.path.join(d, old))
+    back = load_reference_weights(d, d=8, k_lin=4, d_ffn=32, n_classes=5,
+                                  max_seq=12)
+    np.testing.assert_allclose(back.E_w, w.E_w)
+    np.testing.assert_allclose(back.pos_emb, w.pos_emb)
 
 
 def test_native_csv_reader_matches(tmp_path):

@@ -1,0 +1,117 @@
+"""Production-scale CKKS bootstrapping on the real TPU.
+
+Builds the `linformer-boot` preset at ring 2^15 / 16384 slots / level
+budget {3,3} (the reference's EvalBootstrap config — FHEController.cpp:16,
+238-239), generates exactly the rotation keys `Bootstrapper.rotations_for`
+reports, runs bootstrap on-device, and records:
+
+  * bootstraps/s (single ct and batched), warm
+  * precision (approx_error_log2 vs the input message — the reference's
+    Utils.h:105-125 metric)
+  * output level (usable levels after refresh)
+
+Results merge into bench_details.json under "bootstrap_*" keys.
+
+Usage: python tools/boot_full.py [batch]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(batch: int = 4):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fhe_tpu_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fhe_linformer_tpu.config import get
+    from fhe_linformer_tpu.ckks import Context, Evaluator, generate_keys
+    from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
+    from fhe_linformer_tpu.utils.timing import approx_error_log2
+
+    preset = get("linformer-boot")
+    t0 = time.time()
+    ctx = Context(preset.ckks)
+    print(f"context {time.time()-t0:.1f}s  n={ctx.cfg.n} num_q={ctx.num_q} "
+          f"k_sp={ctx.k_sp}", flush=True)
+
+    cfg = BootConfig()
+    rots = Bootstrapper.rotations_for(ctx.cfg.n, cfg)
+    print(f"boot rotations needed: {len(rots)}", flush=True)
+    t0 = time.time()
+    keys = generate_keys(ctx, rotations=rots, conj=True)
+    print(f"keys {time.time()-t0:.1f}s", flush=True)
+    ev = Evaluator(ctx, keys)
+    t0 = time.time()
+    booter = Bootstrapper(ev, cfg)
+    print(f"bootstrapper setup {time.time()-t0:.1f}s "
+          f"(bs={booter.bs}, cts diags="
+        f"{[len(d) for d in booter.cts_diags]}, "
+        f"stc diags={[len(d) for d in booter.stc_diags]})", flush=True)
+
+    rng = np.random.default_rng(3)
+    m = rng.uniform(-0.9, 0.9, (batch, ctx.cfg.slots))
+    ct = ev.encrypt(m, batch=True)
+    low = ev.drop_to(ct, 1)
+
+    results = {"bootstrap_ring": ctx.cfg.n, "bootstrap_slots": ctx.cfg.slots,
+               "bootstrap_level_budget": list(cfg.level_budget),
+               "bootstrap_num_q": ctx.num_q,
+               "bootstrap_rotation_keys": len(rots)}
+
+    t0 = time.time()
+    out = booter.bootstrap(low)
+    out.c0.block_until_ready()
+    t_first = time.time() - t0
+    print(f"bootstrap (batch={batch}) first: {t_first:.1f}s -> nl={out.nl}",
+          flush=True)
+    t0 = time.time()
+    out = booter.bootstrap(low)
+    out.c0.block_until_ready()
+    t_warm = time.time() - t0
+    print(f"bootstrap warm: {t_warm:.2f}s "
+          f"({batch / t_warm:.2f} ct/s)", flush=True)
+
+    got = np.real(np.asarray(ev.decrypt(out)))
+    prec = min(approx_error_log2(m[i], got[i]) for i in range(batch))
+    print(f"precision: {prec:.2f} bits (log2 inf-norm), "
+          f"usable levels after boot: {out.nl - 1}", flush=True)
+
+    results.update({
+        "bootstrap_batch": batch,
+        "bootstrap_warm_s": round(t_warm, 3),
+        "bootstrap_ct_per_s": round(batch / t_warm, 3),
+        "bootstrap_precision_bits": round(prec, 2),
+        "bootstrap_out_nl": out.nl,
+        "bootstrap_first_s": round(t_first, 1),
+    })
+
+    # single-ct latency
+    one = ev.drop_to(ev.encrypt(m[0]), 1)
+    o1 = booter.bootstrap(one)
+    o1.c0.block_until_ready()
+    t0 = time.time()
+    o1 = booter.bootstrap(one)
+    o1.c0.block_until_ready()
+    results["bootstrap_single_ct_warm_s"] = round(time.time() - t0, 3)
+    print(f"single-ct bootstrap warm: {results['bootstrap_single_ct_warm_s']}s",
+          flush=True)
+
+    path = os.path.join(REPO, "bench_details.json")
+    det = {}
+    if os.path.exists(path):
+        det = json.load(open(path))
+    det.update(results)
+    json.dump(det, open(path, "w"), indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 4)
