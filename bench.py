@@ -127,10 +127,27 @@ def main():
                                                     kb, ka, ks_t), (c0, c1))
             return lambda: f(ct.c0, ct.c1)
 
-        dt_step, tr1 = _marginal(rot_chain, 1, 17)
-        dt_ks = dt_step / KSB
-        ks_per_s = 1.0 / dt_ks
+        # repeat the whole marginal measurement REPEATS times and take the
+        # median: single measurements on the tunneled device wobbled ~30%
+        # between runs/docs in round 1; the median over >=5 independent
+        # marginals pins the headline, and the spread is recorded so a
+        # change outside it is a real regression/improvement.
+        REPEATS = 5
+        samples = []
+        tr1 = None
+        for _ in range(REPEATS):
+            dt_step, tr1 = _marginal(rot_chain, 1, 17)
+            samples.append(KSB / dt_step)
+        samples.sort()
+        ks_per_s = samples[len(samples) // 2]
         details["keyswitch_per_s_per_chip"] = round(ks_per_s, 1)
+        details["keyswitch_per_s_samples"] = [round(s, 1) for s in samples]
+        details["keyswitch_per_s_spread_pct"] = round(
+            100.0 * (samples[-1] - samples[0]) / ks_per_s, 1)
+        details["keyswitch_config"] = {
+            "dnum": 3, "batch": KSB, "limbs": LIMBS,
+            "ownskip": os.environ.get("FHE_KS_OWNSKIP", "1") == "1",
+            "pallas_ntt": os.environ.get("FHE_NTT_PALLAS", "1") != "0"}
         details["keyswitch_batch"] = KSB
         details["keyswitch_single_call_ms_batched"] = round(tr1 * 1e3, 3)
 

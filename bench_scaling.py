@@ -79,8 +79,27 @@ lowered = jax.jit(step).lower(xs, ws)
 hlo = lowered.compile().as_text()
 report["limb_sharded_keyswitch_dp2xlimb4"] = inventory(hlo)
 
-# --- 2. dp-sharded batched Galois core: expect NO collectives -----------
+# --- 1b. PRODUCTION sharded key switch (parallel/ksprod.py): the real
+# _galois_core pipeline with limbs sharded; collectives = the two
+# plane-psum pairs (digit base conversion + mod-down) -------------------
 from fhe_linformer_tpu.ckks import CKKSConfig, Context, Evaluator, generate_keys
+from fhe_linformer_tpu.parallel.ksprod import build_sharded_ks, make_sharded_galois
+cfgP = CKKSConfig(n=2048, scale_bits=26, num_scaling=11, dnum=3, seed=2)
+ctxP = Context(cfgP)
+keysP = generate_keys(ctxP, rotations=(3,))
+planP = build_sharded_ks(ctxP, ctxP.num_q, 4)
+gpP = ctxP.galois_perm_factored(ctxP.galois_t(3))
+fnP = make_sharded_galois(mesh, planP, gpP)
+T = ctxP.num_q + ctxP.k_sp
+c0e = jnp.zeros((T, 2048), jnp.uint32)
+ls = limb_sharding(mesh)
+ksh = NamedSharding(mesh, P(None, "limb", None))
+hloP = fnP.lower(jax.device_put(c0e, ls), jax.device_put(c0e, ls),
+                 jax.device_put(keysP.rot[3].b, ksh),
+                 jax.device_put(keysP.rot[3].a, ksh)).compile().as_text()
+report["production_sharded_keyswitch_limb4"] = inventory(hloP)
+
+# --- 2. dp-sharded batched Galois core: expect NO collectives -----------
 from fhe_linformer_tpu.ckks.evaluator import _galois_core
 cfg = CKKSConfig(n=256, scale_bits=26, num_scaling=10, dnum=2, seed=1)
 ctx = Context(cfg)
@@ -140,9 +159,21 @@ def main():
     if os.path.exists(dpath):
         details = json.load(open(dpath))
 
-    # measured single-chip inputs (bench_layer.py, 2026-08, S=128 warm)
+    # measured single-chip inputs: prefer the latest bench_layer run on
+    # disk; fall back to the 2026-08 S=128 warm numbers
     stage_s = {"attention": 0.66, "wrap_affine_unwrap": 0.25,
                "ffn_gelu": 0.78, "pooler_classifier": 0.31}
+    blp = os.path.join(REPO, "bench_layer_S128.json")
+    if os.path.exists(blp):
+        bl = json.load(open(blp))
+        wrap = sum(bl.get(k, 0.0) for k in
+                   ("wrap1", "affine1", "unwrap1", "unwrap2"))
+        if all(k in bl for k in ("attention", "ffn_gelu",
+                                 "pooler_classifier")):
+            stage_s = {"attention": bl["attention"],
+                       "wrap_affine_unwrap": round(wrap, 3),
+                       "ffn_gelu": bl["ffn_gelu"],
+                       "pooler_classifier": bl["pooler_classifier"]}
     layer_1chip = sum(stage_s.values())
     ks_per_s = details.get("keyswitch_per_s_per_chip", 980.0)
     ntt_per_s = details.get("ntt_limb_transforms_per_s", 480000.0)

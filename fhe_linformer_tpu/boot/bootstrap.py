@@ -204,11 +204,17 @@ class Bootstrapper:
         """sin(2 pi y) via cos Chebyshev + double angle.  pre_factor folds
         the conjugation-split constant and the [-K,K]->[-1,1] normalization
         into one exact complex multiply."""
+        import math as _math
         ev = self.ev
         pt = ev.encode(np.full(self.M, pre_factor / self.cfg.K), nl=ct.nl)
         y = ev.mul_plain(ct, pt, rescale=True)
         g = self.poly.eval_chebyshev_series(y, self.sin_coeffs)
         for _ in range(self.cfg.double_angles):
+            # backstop: each squaring doubles the log-scale drift; keep it
+            # inside the float/encode windows (normally dormant — the
+            # Chebyshev exit normalization already lands near delta)
+            if abs(_math.log2(g.scale / ev.ctx.delta)) > 8.0 and g.nl > 1:
+                g = ev.adjust(g, g.nl - 1, ev.ctx.delta)
             g = ev.mul(g, g)
             g = ev.mul_scalar_int(g, 2)
             g = ev.add_plain(g, ev.encode_const(-1.0, g.nl, g.scale))

@@ -103,6 +103,15 @@ def cmd_infer(args):
                                   n_classes=p.n_classes, max_seq=p.max_seq)
     emb = load_sample_embeddings(args.sample_dir)
     circ = EncryptedLinformer(ev, w, p.circuit)
+    booter = None
+    if p.bootstrap:
+        from .boot.bootstrap import Bootstrapper
+        booter = Bootstrapper(ev)
+    n_layers = args.layers or p.layers
+    extra = [golden.random_weights(d=p.d, k_lin=p.k_lin, d_ffn=p.d_ffn,
+                                   n_classes=p.n_classes, max_seq=p.max_seq,
+                                   seed=100 + i)
+             for i in range(n_layers - 1)]
     t0 = time.time()
     if args.resume_checkpoint:
         # resume from a saved encoder output (the reference's
@@ -110,14 +119,24 @@ def cmd_infer(args):
         from .io.serialize import load_ciphertext
         x = load_ciphertext(args.resume_checkpoint)
     else:
-        x_cts, xe, xf, S_total = circ.encrypt_inputs(emb)
+        x_cts, xe, xf, S_total = circ.encrypt_inputs(
+            emb, nl=10 if p.bootstrap else None)
         x = circ.encoder_layer(x_cts, xe, xf, S_total,
-                               cls_only=args.cls_only)
+                               cls_only=args.cls_only, boot=booter)
+        for lw in extra:
+            xe2 = circ.ef_project(x, lw.E_w[:, :S_total], lw.E_b, S_total)
+            xf2 = circ.ef_project(x, lw.F_w[:, :S_total], lw.F_b, S_total)
+            saved = circ.w
+            circ.w = lw
+            try:
+                x = circ.encoder_layer(x, xe2, xf2, S_total, boot=booter)
+            finally:
+                circ.w = saved
         if args.save_checkpoint:
             from .io.serialize import save_ciphertext
             save_ciphertext(args.save_checkpoint, x)
     cls_ct = x.with_data(x.c0[0], x.c1[0]) if x.c0.ndim > 2 else x
-    out = circ.pooler_classifier(cls_ct)
+    out = circ.pooler_classifier(cls_ct, boot=booter)
     logits = circ.decrypt_logits(out)
     cls, p_ = softmax_argmax(logits)
     print(json.dumps({"pred": cls, "prob": float(p_[cls]),
@@ -192,6 +211,10 @@ def main(argv=None):
     inf.add_argument("--weights-dir", default=None)
     inf.add_argument("--sample-dir", required=True)
     inf.add_argument("--cls-only", action="store_true")
+    inf.add_argument("--layers", type=int, default=None,
+                     help="total encoder layers (default: preset's; layers "
+                          ">= 2 run K/V compression homomorphically — "
+                          "config-5)")
     inf.add_argument("--save-checkpoint", default=None)
     inf.add_argument("--resume-checkpoint", default=None)
     inf.set_defaults(fn=cmd_infer)

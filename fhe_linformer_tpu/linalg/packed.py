@@ -255,28 +255,38 @@ class PackedOps:
         top primes and drop both after accumulation — the output scale
         returns to the input scale *exactly* and plaintext quantization
         drops from 2^-26 to ~2^-52 (costs one extra level; bootstrapping
-        precision depends on this)."""
+        precision depends on this).
+
+        Offsets are decomposed STRIDE-AWARE: k = stride*(g*bs + j) with
+        stride = gcd of all offsets.  Grouped butterfly-stage matrices
+        (bootstrapping CtS/StC) have offsets on coarse strides (multiples
+        of 512/16/... at M=16384); decomposing in stride units keeps the
+        rotation-key set at ~bs + #giants per stride instead of one giant
+        key per distinct offset (134 -> ~50 keys for the production
+        bootstrap)."""
         ev = self.ev
         if double_rescale:
             scale = float(ev.ctx.qs[ct.nl - 1]) * float(ev.ctx.qs[ct.nl - 2])
         else:
             scale = scale or ev.ctx.delta
+        stride = self._diag_stride(diags.keys(), self.slots)
         by_giant: dict[int, dict[int, np.ndarray]] = {}
         for k, d in diags.items():
-            g, j = divmod(k % self.slots, bs)
+            g, j = divmod((k % self.slots) // stride, bs)
             by_giant.setdefault(g, {})[j] = d
-        baby_shifts = sorted({j for js in by_giant.values() for j in js})
+        baby_shifts = sorted({j * stride
+                              for js in by_giant.values() for j in js})
         babies = ev.rotate_hoisted(ct, baby_shifts)  # shared decomposition
         acc = None
         for g, js in sorted(by_giant.items()):
             inner = None
             for j, d in sorted(js.items()):
-                dk = np.roll(np.asarray(d), g * bs)
+                dk = np.roll(np.asarray(d), g * bs * stride)
                 key = (id(diags), g, j)
                 pt = ev.encode_cached(key, dk, nl=ct.nl, scale=scale)
-                t = ev.mul_plain(babies[j], pt, rescale=False)
+                t = ev.mul_plain(babies[j * stride], pt, rescale=False)
                 inner = t if inner is None else ev.add(inner, t)
-            rot = ev.rotate(inner, g * bs) if g else inner
+            rot = ev.rotate(inner, g * bs * stride) if g else inner
             acc = rot if acc is None else ev.add(acc, rot)
         acc = ev.rescale(acc)
         if double_rescale:
@@ -285,14 +295,23 @@ class PackedOps:
         return acc
 
     @staticmethod
+    def _diag_stride(offsets, slots: int) -> int:
+        g = slots
+        for k in offsets:
+            if k % slots:
+                g = math.gcd(g, k % slots)
+        return max(g, 1)
+
+    @staticmethod
     def bsgs_required_rotations(offsets, bs: int, slots: int):
+        stride = PackedOps._diag_stride(offsets, slots)
         need = set()
         for k in offsets:
-            g, j = divmod(k % slots, bs)
+            g, j = divmod((k % slots) // stride, bs)
             if j:
-                need.add(j)
+                need.add(j * stride)
             if g:
-                need.add(g * bs)
+                need.add(g * bs * stride)
         return need
 
     # -- wrap / unwrap (FHEController.cpp:1060-1162) --------------------

@@ -115,15 +115,9 @@ def affine_norm(x, a, b, c, S_total):
     return x * (a * fL)[None, :] + (b * fL)[None, :]
 
 
-def forward(w: LinformerWeights, emb: np.ndarray, cls_only: bool = False,
-            return_intermediates: bool = False):
-    """Full golden forward from raw token embeddings to class probabilities.
-
-    Parity: compute_20ng_linformer_forward.py:173-228."""
-    x_in, X_E, X_F = client_preprocess(w, emb)
+def _encoder_layer(w: LinformerWeights, x_in, X_E, X_F, cls_only, inter):
+    """One golden encoder layer (attention + affine1 + FFN + affine2)."""
     St = x_in.shape[0]
-    inter = {}
-
     Q = x_in @ w.WQ.T + w.BQ[None]
     K = X_E @ w.WK.T + w.BK[None]
     V = X_F @ w.WV.T + w.BV[None]
@@ -140,7 +134,6 @@ def forward(w: LinformerWeights, emb: np.ndarray, cls_only: bool = False,
         attn_out = pad
     inter.update(Q=Q, K=K, V=V, scores=scores, exp=e, attn=attn,
                  attn_out=attn_out)
-
     x = x_in + attn_out
     x = affine_norm(x, w.a1, w.b1, w.c1, St)
     inter["norm1"] = x
@@ -149,7 +142,29 @@ def forward(w: LinformerWeights, emb: np.ndarray, cls_only: bool = False,
     x = x + y
     x = affine_norm(x, w.a2, w.b2, w.c2, St)
     inter["norm2"] = x
+    return x
 
+
+def forward(w: LinformerWeights, emb: np.ndarray, cls_only: bool = False,
+            return_intermediates: bool = False, extra_layers=None):
+    """Full golden forward from raw token embeddings to class
+    probabilities.  Parity: compute_20ng_linformer_forward.py:173-228.
+
+    extra_layers: weights for layers 2..N (config-5).  Their E/F sequence
+    compression applies to the ENCRYPTED layer input in the circuit
+    (circuit.ef_project), so the golden analogue projects the layer-input
+    activations: XE = E[:, :St] @ x + E_b."""
+    x_in, X_E, X_F = client_preprocess(w, emb)
+    St = x_in.shape[0]
+    inter = {}
+    x = _encoder_layer(w, x_in, X_E, X_F, cls_only, inter)
+    for lw in (extra_layers or []):
+        XE = lw.E_w[:, :St] @ x + lw.E_b[:, None]
+        XF = lw.F_w[:, :St] @ x + lw.F_b[:, None]
+        x = _encoder_layer(lw, x, XE, XF, False, inter)
+
+    # pooler/classifier are model-level heads (the reference is 1-layer;
+    # the circuit likewise pools with the first weights object's head)
     cls = np.tanh(x[:1] @ w.Wp.T + w.bp[None])
     logits = (cls @ w.Wc.T + w.bc[None])[0]
     inter.update(pooled=cls, logits=logits)

@@ -1,0 +1,306 @@
+"""PRODUCTION hybrid key switch under shard_map: RNS limbs sharded over
+the mesh's `limb` axis, cross-limb base conversion as psum collectives.
+
+This is the real `_galois_core` pipeline (ckks/evaluator.py) re-expressed
+SPMD — not the tiny demo step in parallel/sharded.py.  Per device, with
+the extended basis rows (nl active q + k specials) block-sharded:
+
+  1. Galois permutation of c0 / c1          — row-local (N-axis gather)
+  2. iNTT of local c1 rows                  — row-local (NTT never mixes limbs)
+  3. w = fold * c1_coeff                    — row-local
+  4. digit base conversion y[j,p] = sum_t w[t] conv[t,p]
+                                            — CROSS-LIMB: one 16-bit
+       plane-psum pair over `limb` (each plane sums < ndev * 2^16, exact
+       for any ndev <= 2^14; recombine r = hi*2^16 + lo mod p locally)
+  5. NTT of local digit rows, inner products with the local key-digit
+     rows, digit accumulation               — row-local
+  6. mod-down P -> Q: iNTT of special rows, base conversion to active
+     rows (second plane-psum), NTT, subtract, * P^-1 — row-local after psum
+
+Collectives ride the `limb` axis only — the north-star layout
+(BASELINE.json: "rotation/key-switch partial sums via psum").  The result
+is BIT-EXACT vs the single-device Evaluator.rotate: every step is exact
+modular arithmetic, so operation order does not matter.
+
+The reference has no distributed anything (SURVEY.md §2.5) — this file is
+pure new TPU-native design.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import modarith as ma
+from ..ops.ntt import LimbTables, _fwd as ntt_fwd, _inv as ntt_inv
+
+
+def _slice_tables(tables: LimbTables, lo, per: int) -> LimbTables:
+    """Rows [lo, lo+per) of stacked limb tables (device-side dynamic
+    slice — `lo` comes from axis_index inside shard_map)."""
+    sl = lambda a, ax: jax.lax.dynamic_slice_in_dim(a, lo, per, ax)
+    return LimbTables(
+        n=tables.n, n1=tables.n1, n2=tables.n2,
+        qs_key=tables.qs_key[:per],
+        q=sl(tables.q, 0),
+        w2f=sl(tables.w2f, 1), w1f=sl(tables.w1f, 1), tf=sl(tables.tf, 0),
+        tf_s=sl(tables.tf_s, 0), w1i=sl(tables.w1i, 1), ti=sl(tables.ti, 0),
+        ti_s=sl(tables.ti_s, 0), w2i=sl(tables.w2i, 1),
+        comb_c=sl(tables.comb_c, 1), comb_s=sl(tables.comb_s, 1),
+        w2f8=sl(tables.w2f8, 1), w1f8=sl(tables.w1f8, 1),
+        w1i8=sl(tables.w1i8, 1), w2i8=sl(tables.w2i8, 1),
+    )
+
+
+def _psum_mod(term_sum_lo_hi, q, q_s16, axis: str):
+    """Exact modular psum: operand rows arrive split as (lo16, hi16) u32
+    planes; each plane psums losslessly (< ndev * 2^16), then recombines
+    r = (hi * 2^16 + lo) mod q with a Shoup multiply by (2^16 mod q)."""
+    lo, hi = term_sum_lo_hi
+    lo_t = jax.lax.psum(lo, axis)
+    hi_t = jax.lax.psum(hi, axis)
+    # hi < ndev * 2^16; hi * (2^16 mod q) via shoup, then add lo mod q
+    r = ma.shoup_mulmod(hi_t % q, q_s16[0], q_s16[1], q)
+    lo_r = lo_t % q
+    out = r + lo_r
+    return jnp.where(out >= q, out - q, out)
+
+
+def _split16(x):
+    return x & jnp.uint32(0xFFFF), x >> jnp.uint32(16)
+
+
+@dataclass
+class ShardedKSPlan:
+    """Host-precomputed tables for one (ctx, nl, nshard) sharded key
+    switch.  All arrays are full-basis; devices dynamic-slice their row
+    block inside shard_map."""
+    nl: int
+    k_sp: int
+    nd: int
+    per: int                   # basis rows per shard
+    n: int
+    tables: LimbTables         # stacked tables for the full target basis
+    gq_full: jnp.ndarray       # (T, 1) basis primes (T = nl + k_sp)
+    mu_full: jnp.ndarray       # (T, 1) Barrett mu per basis prime
+    sh_full: jnp.ndarray       # (T, 1) Barrett shift per basis prime
+    fold: jnp.ndarray          # (T, 1) fold consts (0 on special rows)
+    fold_s: jnp.ndarray
+    conv: jnp.ndarray          # (T, R) digit conversion, R = nd * T
+    conv_s: jnp.ndarray        # shoup vs column prime q_row
+    q_row: jnp.ndarray         # (R, 1) target prime per output row
+    p16: jnp.ndarray           # (R, 1) 2^16 mod q_row
+    p16_s: jnp.ndarray
+    pfold: jnp.ndarray         # (T, 1) mod-down fold (0 on active rows)
+    pfold_s: jnp.ndarray
+    pconv: jnp.ndarray         # (T, nl)
+    pconv_s: jnp.ndarray
+    q_act_row: jnp.ndarray     # (nl, 1)
+    a16: jnp.ndarray           # (nl, 1) 2^16 mod q_act
+    a16_s: jnp.ndarray
+    pinv: jnp.ndarray          # (T, 1) P^-1 mod q (0 on special rows)
+    pinv_s: jnp.ndarray
+    rowmask: jnp.ndarray       # (T, 1) 1 on active rows else 0
+
+
+def build_sharded_ks(ctx, nl: int, nshard: int) -> ShardedKSPlan:
+    """Precompute the full-basis tables.  Requires (nl + k_sp) % nshard
+    == 0 (block row sharding)."""
+    T = nl + ctx.k_sp
+    assert T % nshard == 0, f"basis rows {T} not divisible by {nshard}"
+    tgt_idx = ctx.limb_idx(nl, specials=True)
+    tgt_primes = np.asarray([ctx.basis[i] for i in tgt_idx], np.int64)
+    ks = ctx.ks_tables(nl)       # reuse digit group structure + consts
+    nd = len(ks.digits)
+    R = nd * T
+
+    fold = np.zeros((T, 1), np.int64)
+    conv = np.zeros((T, R), np.int64)
+    q_row = np.empty((R,), np.int64)
+    for j, dg in enumerate(ks.digits):
+        for pi in range(T):
+            q_row[j * T + pi] = tgt_primes[pi]
+        fold_np = np.asarray(dg.fold, np.int64)
+        conv_np = np.asarray(dg.conv, np.int64)[:, :, 0]   # (g, T)
+        for ti, t in enumerate(dg.group):
+            fold[t, 0] = fold_np[ti, 0]
+            conv[t, j * T: (j + 1) * T] = conv_np[ti]
+    gq = tgt_primes.reshape(-1, 1)
+    qr = q_row.reshape(1, -1)
+
+    # mod-down: special rows -> active rows
+    pfold = np.zeros((T, 1), np.int64)
+    pconv = np.zeros((T, nl), np.int64)
+    pfold[nl:, 0] = np.asarray(ks.pfold, np.int64)[:, 0]
+    pconv[nl:, :] = np.asarray(ks.pconv, np.int64)[:, :, 0]
+    q_act = tgt_primes[:nl].reshape(-1, 1)
+    pinv = np.zeros((T, 1), np.int64)
+    pinv[:nl] = np.asarray(ks.pinv, np.int64)
+    p16r = (np.int64(1 << 16) % q_row).reshape(-1, 1)
+    a16 = (np.int64(1 << 16) % q_act)
+
+    mus, shs = [], []
+    for q in tgt_primes:
+        _, mu, sh = ma.barrett_params(int(q))
+        mus.append(mu)
+        shs.append(sh)
+
+    u = lambda a: jnp.asarray(np.asarray(a).astype(np.uint32))
+    return ShardedKSPlan(
+        nl=nl, k_sp=ctx.k_sp, nd=nd, per=T // nshard, n=ctx.cfg.n,
+        tables=ctx.ntt.tables(tgt_idx),
+        gq_full=u(gq),
+        mu_full=u(np.asarray(mus, np.int64).reshape(-1, 1)),
+        sh_full=u(np.asarray(shs, np.int64).reshape(-1, 1)),
+        fold=u(fold), fold_s=jnp.asarray(ma.shoup_precompute(fold, gq)),
+        conv=u(conv), conv_s=jnp.asarray(ma.shoup_precompute(conv, qr)),
+        q_row=u(q_row.reshape(-1, 1)),
+        p16=u(p16r), p16_s=jnp.asarray(ma.shoup_precompute(p16r,
+                                                           q_row.reshape(-1, 1))),
+        pfold=u(pfold), pfold_s=jnp.asarray(ma.shoup_precompute(pfold, gq)),
+        pconv=u(pconv), pconv_s=jnp.asarray(ma.shoup_precompute(
+            pconv, q_act.reshape(1, -1))),
+        q_act_row=u(q_act), a16=u(a16),
+        a16_s=jnp.asarray(ma.shoup_precompute(a16, q_act)),
+        pinv=u(pinv), pinv_s=jnp.asarray(ma.shoup_precompute(
+            np.where(pinv == 0, 1, pinv), gq) * (pinv != 0)),
+        rowmask=u((np.arange(T) < nl).astype(np.int64).reshape(-1, 1)),
+    )
+
+
+def make_sharded_galois(mesh: Mesh, plan: ShardedKSPlan, gp):
+    """Jitted SPMD rotate: (c0_ext, c1_ext, kb, ka) -> (r0 + k0, k1) with
+    limbs sharded over `limb`.  c*_ext are (T, N) arrays over the extended
+    basis with special rows ZERO (the mod-raise-free embedding of a Q-limb
+    ct into the Q*P basis: digit decomposition only reads active rows).
+    kb/ka: (nd, T, N) key digit halves, sharded on their limb axis."""
+    nshard = mesh.shape["limb"]
+    per = plan.per
+    T = plan.nl + plan.k_sp
+
+    def local(c0_l, c1_l, kb_l, ka_l, pl: ShardedKSPlan):
+        idx = jax.lax.axis_index("limb")
+        lo = idx * per
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lo, per, 0)
+        tbl = _slice_tables(pl.tables, lo, per)
+        q_l = sl(pl.gq_full)
+        from ..ckks.evaluator import _apply_gperm
+        r0 = _apply_gperm(c0_l, gp)
+        r1 = _apply_gperm(c1_l, gp)
+        # 2-3. local iNTT + fold (special rows hold zeros, stay zero)
+        w = ma.shoup_mulmod(ntt_inv(r1, tbl), sl(pl.fold), sl(pl.fold_s), q_l)
+        # 4. digit base conversion: per output row r=(j,p):
+        #    y[r] = sum_t w[t] * conv[t, r]  — psum over limb shards
+        conv_l = sl(pl.conv)[:, :, None]          # (per, R, 1)
+        conv_s_l = sl(pl.conv_s)[:, :, None]
+        terms = ma.shoup_mulmod(w[:, None, :], conv_l, conv_s_l,
+                                pl.q_row[None])   # (per, R, N) < q_row
+        lo16 = jnp.zeros(terms.shape[1:], jnp.uint32)
+        hi16 = jnp.zeros(terms.shape[1:], jnp.uint32)
+        for t in range(per):                      # local lazy plane sums
+            a, b = _split16(terms[t])
+            lo16 = lo16 + a
+            hi16 = hi16 + b
+        y = _psum_mod((lo16, hi16), pl.q_row, (pl.p16, pl.p16_s), "limb")
+        # 5. slice local target rows of each digit, NTT, inner products
+        yd = y.reshape(plan.nd, T, c0_l.shape[-1])
+        yd_l = jax.lax.dynamic_slice_in_dim(yd, lo, per, 1)  # (nd, per, N)
+        y_e = ntt_fwd(yd_l, tbl)
+        mu_l = sl(pl.mu_full)
+        sh_l = sl(pl.sh_full)
+        t0 = ma.barrett_mulmod(y_e, kb_l, q_l, mu_l, sh_l)
+        t1 = ma.barrett_mulmod(y_e, ka_l, q_l, mu_l, sh_l)
+        acc0 = t0[0]
+        acc1 = t1[0]
+        for j in range(1, plan.nd):
+            acc0 = ma.addmod(acc0, t0[j], q_l)
+            acc1 = ma.addmod(acc1, t1[j], q_l)
+        # 6. mod-down: special rows -> active rows (second psum)
+        outs = []
+        for acc, radd in ((acc0, r0), (acc1, None)):
+            vp = ma.shoup_mulmod(ntt_inv(acc, tbl), sl(pl.pfold),
+                                 sl(pl.pfold_s), q_l)   # active rows -> 0
+            tm = ma.shoup_mulmod(vp[:, None, :], sl(pl.pconv)[:, :, None],
+                                 sl(pl.pconv_s)[:, :, None],
+                                 pl.q_act_row[None])    # (per, nl, N)
+            l16 = jnp.zeros(tm.shape[1:], jnp.uint32)
+            h16 = jnp.zeros(tm.shape[1:], jnp.uint32)
+            for t in range(per):
+                a, b = _split16(tm[t])
+                l16 = l16 + a
+                h16 = h16 + b
+            yq = _psum_mod((l16, h16), pl.q_act_row,
+                           (pl.a16, pl.a16_s), "limb")  # (nl, N) replicated
+            # local active rows of yq: rows [lo, lo+per) that are < nl
+            pad = jnp.zeros((plan.k_sp, yq.shape[-1]), jnp.uint32)
+            yq_ext = jnp.concatenate([yq, pad], axis=0)
+            yq_l = jax.lax.dynamic_slice_in_dim(yq_ext, lo, per, 0)
+            y_e2 = ntt_fwd(yq_l, tbl)
+            diff = ma.submod(acc, y_e2, q_l)
+            out = ma.shoup_mulmod(diff, sl(pl.pinv), sl(pl.pinv_s), q_l)
+            out = out * sl(pl.rowmask)             # zero special rows
+            if radd is not None:
+                out = ma.addmod(out, radd * sl(pl.rowmask), q_l)
+            outs.append(out)
+        return outs[0], outs[1]
+
+    sm = shard_map(
+        partial(local, pl=plan), mesh=mesh,
+        in_specs=(P("limb", None), P("limb", None),
+                  P(None, "limb", None), P(None, "limb", None)),
+        out_specs=(P("limb", None), P("limb", None)),
+        check_rep=False,
+    )
+    return jax.jit(sm)
+
+
+def sharded_rotate_parity_check(mesh: Mesh, n: int = 2048,
+                                num_scaling: int = 11, dnum: int = 3,
+                                rot: int = 3) -> float:
+    """Build a context whose extended basis divides the limb axis, run the
+    sharded production key switch for rotation `rot`, and assert BIT-EXACT
+    parity vs the single-device Evaluator.rotate.  Returns max abs diff of
+    the decrypted slots as a secondary sanity value (0.0-ish)."""
+    from ..ckks import CKKSConfig, Context, Evaluator, generate_keys
+
+    nshard = mesh.shape["limb"]
+    cfg = CKKSConfig(n=n, scale_bits=26, num_scaling=num_scaling, dnum=dnum,
+                     seed=77)
+    ctx = Context(cfg)
+    nl = ctx.num_q
+    T = nl + ctx.k_sp
+    assert T % nshard == 0, (T, nshard)
+    keys = generate_keys(ctx, rotations=(rot,))
+    ev = Evaluator(ctx, keys)
+    rng = np.random.default_rng(5)
+    z = rng.uniform(-1, 1, cfg.slots)
+    ct = ev.encrypt(z)
+
+    want = ev.rotate(ct, rot)                     # single-device reference
+
+    plan = build_sharded_ks(ctx, nl, nshard)
+    key = keys.rot[rot]
+    gp = ctx.galois_perm_factored(ctx.galois_t(rot))
+    fn = make_sharded_galois(mesh, plan, gp)
+
+    pad = jnp.zeros((ctx.k_sp, n), jnp.uint32)
+    c0e = jnp.concatenate([ct.c0, pad])
+    c1e = jnp.concatenate([ct.c1, pad])
+    from ..parallel.mesh import limb_sharding
+    sh = limb_sharding(mesh)
+    ksh = NamedSharding(mesh, P(None, "limb", None))
+    o0, o1 = fn(jax.device_put(c0e, sh), jax.device_put(c1e, sh),
+                jax.device_put(key.b, ksh), jax.device_put(key.a, ksh))
+    got0 = np.asarray(o0)[:nl]
+    got1 = np.asarray(o1)[:nl]
+    np.testing.assert_array_equal(got0, np.asarray(want.c0))
+    np.testing.assert_array_equal(got1, np.asarray(want.c1))
+    out = ct.with_data(jnp.asarray(got0), jnp.asarray(got1))
+    dec = np.real(np.asarray(ev.decrypt(out)))
+    return float(np.max(np.abs(dec - np.roll(z, -rot))))

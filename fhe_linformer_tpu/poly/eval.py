@@ -145,7 +145,16 @@ class PolyEvaluator:
                 return self.combine([(babies[1], 0.0)], c[0])
             return rec(np.asarray(c))
 
-        return rec(coeffs)
+        out = rec(coeffs)
+        # Exit-scale normalization: the giant/PS products leave the scale
+        # drifted by several bits at production prime spreads (2^15 ring:
+        # scaling primes span 25..27 bits), and callers that SQUARE the
+        # result (bootstrapping's double-angle loop) would square that
+        # drift doubly-exponentially — measured blowing past 2^62 within
+        # 3 double angles.  One conditional level here bounds it.
+        if out.nl > 1 and abs(math.log2(out.scale / ev.ctx.delta)) > 0.25:
+            out = ev.adjust(out, out.nl - 1, ev.ctx.delta)
+        return out
 
     def eval_chebyshev_function(self, f, ct: Ciphertext, a: float, b: float,
                                 degree: int) -> Ciphertext:

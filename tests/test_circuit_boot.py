@@ -6,6 +6,8 @@ Tiny-ring (n=256) so the whole pipeline runs on CPU in the default suite;
 the production-scale run of the SAME code path is tools/boot_full.py +
 bench_layer.py --boot on the real TPU."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -67,3 +69,40 @@ def test_bootstrapped_layer_matches_golden(setup):
     assert np.all(np.isfinite(logits)), logits
     assert int(np.argmax(logits)) == int(np.argmax(want)), (logits, want)
     np.testing.assert_allclose(logits, want, atol=0.15)
+
+
+@pytest.mark.skipif(not os.environ.get("FHE_RUN_SLOW"),
+                    reason="2-layer bootstrapped e2e is compile-heavy; "
+                           "set FHE_RUN_SLOW=1")
+def test_two_layer_bootstrapped_forward(setup):
+    """Config-5: >=2 encoder layers end-to-end, layer-2 K/V compression
+    running HOMOMORPHICALLY (ef_project — the reference never needs this,
+    dimReduce.py:148-156 is client-side single-layer), bootstraps between
+    segments, decrypted logits vs the 2-layer golden."""
+    ev, booter, w = setup
+    w2 = golden.random_weights(d=D, k_lin=KLIN, d_ffn=FFN, n_classes=NCLS,
+                               max_seq=12, seed=6, scale=0.3)
+    rng = np.random.default_rng(13)
+    emb = rng.normal(0, 0.3, (4, D))
+    # calibrate ranges over BOTH layers' intermediates
+    _, i1 = golden.forward(w, emb, return_intermediates=True)
+    _, i2 = golden.forward(w, emb, extra_layers=[w2],
+                           return_intermediates=True)
+    rows = np.concatenate([i1["exp"].sum(-1), i2["exp"].sum(-1)])
+    h1 = np.abs(i1["norm1"] @ w.W1.T + w.B1[None]).max()
+    h2 = np.abs(i2["norm1"] @ w2.W1.T + w2.B1[None]).max()
+    params = CircuitParams(
+        inv_range=(0.5 * rows.min(), 1.5 * rows.max()),
+        inv_degree=13, gelu_degree=13, tanh_degree=13,
+        gelu_clip=1.0 / (1.2 * max(h1, h2)),
+        tanh_scale=1.0 / (1.2 * np.abs(
+            i2["norm2"][:1] @ w.Wp.T + w.bp[None]).max()),
+        exp_pow8=False,
+    )
+    circ = EncryptedLinformer(ev, w, params)
+    out = circ.forward(emb, boot=booter, extra_layers=[w2], input_nl=10)
+    logits = circ.decrypt_logits(out)
+    want = i2["logits"]
+    assert np.all(np.isfinite(logits)), logits
+    assert int(np.argmax(logits)) == int(np.argmax(want)), (logits, want)
+    np.testing.assert_allclose(logits, want, atol=0.2)

@@ -24,5 +24,6 @@ def test_dryrun_multichip_8():
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "sharded PRODUCTION keyswitch parity OK" in r.stdout
     assert "full-circuit dp forward OK" in r.stdout
     assert "dryrun_multichip OK" in r.stdout

@@ -1,0 +1,102 @@
+"""A/B: BSGS diagonal ct-pt matmul vs the mult+rotsum RE path for the
+d=128 projections (VERDICT round-1 item 9; the north star names BSGS
+ct-matmul explicitly).
+
+The two compute the same y = W @ x per token but from different packings:
+
+  RE  : expanded x (value j fills block j)  -> 1 pt-mult + log2(nb)=7
+        rotation key switches -> repeated y            (circuit's path)
+  BSGS: repeated x (d-vector tiled)         -> hoisted baby rotations
+        (shared decomposition) + d pt-mults + ~d/bs giant key switches
+        -> repeated y
+
+Measured marginally (chained inside one jit) on a token batch, like
+bench.py.  Writes ab_bsgs.json with the verdict.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(B=8, nl_limbs=24):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fhe_tpu_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fhe_linformer_tpu.ckks import (CKKSConfig, Context, Evaluator,
+                                        generate_keys)
+    from fhe_linformer_tpu.linalg.packed import PackedOps
+
+    d = 128
+    cfg = CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=nl_limbs - 1,
+                     dnum=3)
+    ctx = Context(cfg)
+    rots = set()
+    s = 1
+    while s < cfg.slots:
+        rots |= {s, -s}
+        s *= 2
+    bs = 16
+    rots |= set(range(1, bs))            # BSGS babies
+    rots |= {g * bs for g in range(1, d // bs)}
+    keys = generate_keys(ctx, rotations=tuple(sorted(rots)))
+    ev = Evaluator(ctx, keys)
+    ops = PackedOps(ev, d)
+
+    rng = np.random.default_rng(0)
+    W = rng.normal(0, 0.3, (d, d))
+    xs = rng.normal(0, 0.5, (B, d))
+    exp_ct = ev.encrypt(np.stack([ops.expanded_slots(x) for x in xs]),
+                        batch=True)
+    rep_ct = ev.encrypt(np.stack([ops.repeated_slots(x) for x in xs]),
+                        batch=True)
+    w_re = ev.encode(ops.matrix_re_slots(W), nl=exp_ct.nl)
+
+    def re_path(ct):
+        return ops.matmul_re(ct, w_re)
+
+    def bsgs_path(ct):
+        return ops.matmul_bsgs(ct, W)
+
+    # correctness first
+    want = xs @ W.T
+    got_re = np.real(ev.decrypt(re_path(exp_ct)))[:, :d]
+    got_bs = np.real(ev.decrypt(bsgs_path(rep_ct)))[:, :d]
+    err_re = np.abs(got_re - want).max()
+    err_bs = np.abs(got_bs - want).max()
+    print(f"correctness: RE err {err_re:.2e}, BSGS err {err_bs:.2e}")
+    assert err_re < 1e-2 and err_bs < 1e-2
+
+    def timed(f, ct, iters=5):
+        out = f(ct)
+        out.c0.block_until_ready()
+        best = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = f(ct)
+            out.c0.block_until_ready()
+            best.append(time.perf_counter() - t0)
+        return min(best)
+
+    t_re = timed(re_path, exp_ct)
+    t_bs = timed(bsgs_path, rep_ct)
+    res = {
+        "batch": B, "d": d, "limbs": nl_limbs,
+        "re_warm_s": round(t_re, 4), "bsgs_warm_s": round(t_bs, 4),
+        "re_per_token_ms": round(t_re / B * 1e3, 3),
+        "bsgs_per_token_ms": round(t_bs / B * 1e3, 3),
+        "verdict": "RE" if t_re <= t_bs else "BSGS",
+    }
+    print(json.dumps(res, indent=1))
+    with open(os.path.join(REPO, "ab_bsgs.json"), "w") as f:
+        json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
