@@ -215,10 +215,16 @@ class Evaluator:
         return Ciphertext(c0, c1, nl, pt.scale)
 
     def decrypt(self, ct: Ciphertext, crt_limbs: int = 3) -> np.ndarray:
-        """Decrypt + decode to complex slot values (batched)."""
+        """Decrypt + decode to complex slot values (batched).
+
+        Mod-switches down to `crt_limbs` limbs first: the CRT lift only
+        reads that many anyway, and decrypting a full-chain batch was an
+        HBM/transfer hot spot (the iNTT of 19+ limbs x batch at 2^15
+        OOM'd the shared dev chip)."""
         ctx = self.ctx
         sk = self.keys.sk
         assert sk is not None, "secret key not retained"
+        ct = self.drop_to(ct, min(ct.nl, max(crt_limbs, 1)))
         limbs = ctx.limb_idx(ct.nl)
         consts = ctx.mod_consts(limbs)
         s = sk.eval_full[: ct.nl]
@@ -227,6 +233,37 @@ class Evaluator:
         ints = self._crt_lift(coeffs, ct.nl, min(crt_limbs, ct.nl))
         flat = ints.reshape(-1, ctx.cfg.n)
         out = np.stack([self.encoder.decode(c, ct.scale) for c in flat])
+        return out.reshape(*ct.batch_shape, ctx.cfg.slots)
+
+    def decrypt_host(self, ct: Ciphertext, crt_limbs: int = 3) -> np.ndarray:
+        """Decrypt entirely on the HOST: downloads the raw eval-domain
+        residues (a pure transfer, no device program) and runs modular
+        arithmetic + iNTT (reference NttPlan) + CRT + decode in numpy.
+
+        Same result as decrypt() at the same crt_limbs.  Exists because
+        on the tunneled dev TPU a *fresh-shaped* decrypt graph costs
+        minutes of remote compilation — far more than the 10 MB download
+        this does — so verification probes (bootstrap precision, bench
+        decrypt checks) use this path."""
+        ctx = self.ctx
+        sk = self.keys.sk
+        assert sk is not None, "secret key not retained"
+        m = min(crt_limbs, ct.nl)
+        c0 = np.asarray(ct.c0)[..., :m, :].astype(np.uint64)
+        c1 = np.asarray(ct.c1)[..., :m, :].astype(np.uint64)
+        s = np.asarray(sk.eval_full)[:m, :].astype(np.uint64)
+        qs = np.asarray(ctx.qs[:m], np.uint64).reshape(-1, 1)
+        m_eval = (c0 + c1 * s % qs) % qs          # products < 2^60 exact
+        from ..reference import NttPlan
+        flat = m_eval.reshape(-1, m, ctx.cfg.n)
+        coeffs = np.empty_like(flat)
+        for i in range(m):
+            plan = NttPlan(ctx.cfg.n, int(ctx.qs[i]))
+            for b in range(flat.shape[0]):
+                coeffs[b, i] = plan.inv(flat[b, i].astype(np.int64))
+        ints = self._crt_lift(coeffs.astype(np.uint32), m, m)
+        out = np.stack([self.encoder.decode(c, ct.scale)
+                        for c in ints.reshape(-1, ctx.cfg.n)])
         return out.reshape(*ct.batch_shape, ctx.cfg.slots)
 
     def _crt_lift(self, res: np.ndarray, nl: int, m: int) -> np.ndarray:

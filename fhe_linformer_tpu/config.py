@@ -88,12 +88,18 @@ _reg(Preset(
 ))
 
 # security-calibrated variant: same circuit as linformer-boot but with a
-# uniform ternary secret (the HE-standard table's assumption) and the
-# QP budget inside the 128-bit classical bound — see security.assess()
+# uniform ternary secret (the HE-standard table's assumption) and the QP
+# budget inside the 128-bit classical bound — see security.assess().
+# Ring 2^16: the production bootstrap consumes ~25 of the scaling levels,
+# and holding 44 scaling limbs (25 boot + ~19 circuit) inside the
+# 128-bit bound needs the larger ring (at 2^15 the bound is ~881 bits of
+# QP — enough for only ~31 limbs total, which cannot even bootstrap).
+# This mirrors standard practice: production CKKS bootstrapping at
+# 128-bit runs at ring 2^16.
 _reg(Preset(
     name="linformer-128c",
     desc="full bootstrapped Linformer at >=128-bit classical security",
-    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=20, dnum=3),
+    ckks=CKKSConfig(n=1 << 16, scale_bits=26, num_scaling=44, dnum=3),
     bootstrap=True,
 ))
 

@@ -66,6 +66,16 @@ def main(batch: int = 4):
                "bootstrap_num_q": ctx.num_q,
                "bootstrap_rotation_keys": len(rots)}
 
+    def hbm(tag):
+        try:
+            st = jax.local_devices()[0].memory_stats()
+            print(f"HBM[{tag}]: in_use={st.get('bytes_in_use', 0)/2**30:.2f}"
+                  f" GiB, limit={st.get('bytes_limit', 0)/2**30:.2f} GiB",
+                  flush=True)
+        except Exception as e:
+            print(f"HBM[{tag}]: unavailable ({e!r})", flush=True)
+
+    hbm("pre-boot")
     t0 = time.time()
     out = booter.bootstrap(low)
     out.c0.block_until_ready()
@@ -78,8 +88,9 @@ def main(batch: int = 4):
     t_warm = time.time() - t0
     print(f"bootstrap warm: {t_warm:.2f}s "
           f"({batch / t_warm:.2f} ct/s)", flush=True)
+    hbm("post-boot")
 
-    got = np.real(np.asarray(ev.decrypt(out)))
+    got = np.real(ev.decrypt_host(out))
     prec = min(approx_error_log2(m[i], got[i]) for i in range(batch))
     print(f"precision: {prec:.2f} bits (log2 inf-norm), "
           f"usable levels after boot: {out.nl - 1}", flush=True)
@@ -93,16 +104,18 @@ def main(batch: int = 4):
         "bootstrap_first_s": round(t_first, 1),
     })
 
-    # single-ct latency
-    one = ev.drop_to(ev.encrypt(m[0]), 1)
-    o1 = booter.bootstrap(one)
-    o1.c0.block_until_ready()
-    t0 = time.time()
-    o1 = booter.bootstrap(one)
-    o1.c0.block_until_ready()
-    results["bootstrap_single_ct_warm_s"] = round(time.time() - t0, 3)
-    print(f"single-ct bootstrap warm: {results['bootstrap_single_ct_warm_s']}s",
-          flush=True)
+    # single-ct latency (opt-in: batch-1 shapes recompile the whole
+    # pipeline, which costs many minutes of remote compilation)
+    if os.environ.get("FHE_BOOT_SINGLE"):
+        one = ev.drop_to(ev.encrypt(m[0]), 1)
+        o1 = booter.bootstrap(one)
+        o1.c0.block_until_ready()
+        t0 = time.time()
+        o1 = booter.bootstrap(one)
+        o1.c0.block_until_ready()
+        results["bootstrap_single_ct_warm_s"] = round(time.time() - t0, 3)
+        print(f"single-ct bootstrap warm: "
+              f"{results['bootstrap_single_ct_warm_s']}s", flush=True)
 
     path = os.path.join(REPO, "bench_details.json")
     det = {}
