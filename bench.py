@@ -175,9 +175,19 @@ def main():
     except Exception as e:  # pragma: no cover — keep the headline printable
         details["keyswitch_error"] = repr(e)
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_details.json"), "w") as f:
-        json.dump(details, f, indent=1)
+    # merge-don't-overwrite: boot_full.py / bench_layer.py contribute
+    # bootstrap_* and layer rows to the same file
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_details.json")
+    merged = {}
+    if os.path.exists(path):
+        try:
+            merged = json.load(open(path))
+        except Exception:
+            merged = {}
+    merged.update(details)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
     print(json.dumps(metric))
 
 

@@ -98,6 +98,11 @@ def main(S=128, boot=False, num_scaling=44, full=True):
           f"nl={x_cts.nl}", flush=True)
 
     results = {"S_total": S_total, "boot": boot, "basis": len(ctx.basis)}
+    out_name = f"bench_layer_S{S}{'_boot' if boot else ''}.json"
+
+    def persist():
+        with open(out_name, "w") as fh:
+            json.dump(results, fh, indent=1)
 
     def stage(name, f, *a, **k):
         t0 = time.time()
@@ -118,10 +123,29 @@ def main(S=128, boot=False, num_scaling=44, full=True):
         print(f"{name}: first {t_first:.1f}s warm {t_warm:.2f}s "
               f"(out nl={out2.nl}, {results[f'{name}_keyswitches']} ks"
               f"{', %d boots' % nb if nb else ''})", flush=True)
+        persist()                 # a late OOM must not lose earlier stages
         return out2
+
+    # FHE_PROFILE=<dir>: capture a jax.profiler device trace of the warm
+    # attention stage (SURVEY §5's tracing equivalent of the reference's
+    # wall-clock timers).  Best-effort: the tunneled device may not
+    # support trace export.
+    prof_dir = __import__("os").environ.get("FHE_PROFILE")
+    if prof_dir:
+        try:
+            jax.profiler.start_trace(prof_dir)
+        except Exception as e:
+            print(f"profiler unavailable: {e!r}", flush=True)
+            prof_dir = None
 
     attn = stage("attention", circ.attention, x_cts, xe, xf, S_total,
                  boot=booter)
+    if prof_dir:
+        try:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {prof_dir}", flush=True)
+        except Exception as e:
+            print(f"profiler stop failed: {e!r}", flush=True)
     if full:
         wrapped = stage("wrap1", circ.wrap_tokens, attn)
         wrapped = stage("affine1", circ.affine, wrapped, w.a1, w.b1, w.c1,
@@ -156,21 +180,35 @@ def main(S=128, boot=False, num_scaling=44, full=True):
         print(f"LAYER TOTAL (warm, single chip, S={S_total}): {total:.2f}s, "
               f"{results['layer_keyswitches']} key switches, "
               f"{results['layer_bootstraps']} bootstraps", flush=True)
+        persist()
         # decrypt verification vs golden (the reference's manual
         # decrypt-probe diffing, automated) — host decrypt: zero fresh
-        # device compiles on the tunnel
-        vals = np.real(circ.ev.decrypt_host(out))
-        logits = vals[: w.Wc.shape[0] * circ.ops.d: circ.ops.d]
-        want = inter["logits"]
-        err = float(np.max(np.abs(logits - want)))
-        ok = bool(np.argmax(logits) == np.argmax(want)) and np.isfinite(err)
-        results["logits_max_err"] = round(err, 5)
-        results["argmax_matches_golden"] = ok
-        print(f"decrypt check: argmax match={ok}, max|err|={err:.4g}",
-              flush=True)
-    name = f"bench_layer_S{S}{'_boot' if boot else ''}.json"
-    with open(name, "w") as f:
-        json.dump(results, f, indent=1)
+        # device compiles on the tunnel.  Free plaintext caches first:
+        # the post-circuit HBM high-water can leave no headroom even for
+        # the d2h staging of the download (observed 2026-08-20).
+        try:
+            import gc
+            del x_cts, xe, xf, attn, wrapped, x2, y, x2m, ym, res, \
+                wrapped2, x3, cls_ct
+            ev._enc_cache.clear()
+            circ._pt_cache.clear()
+            if booter is not None:
+                getattr(booter, "_fold_cache", {}).clear()
+            gc.collect()
+            vals = np.real(circ.ev.decrypt_host(out))
+            logits = vals[: w.Wc.shape[0] * circ.ops.d: circ.ops.d]
+            want = inter["logits"]
+            err = float(np.max(np.abs(logits - want)))
+            ok = bool(np.argmax(logits) == np.argmax(want)) \
+                and np.isfinite(err)
+            results["logits_max_err"] = round(err, 5)
+            results["argmax_matches_golden"] = ok
+            print(f"decrypt check: argmax match={ok}, max|err|={err:.4g}",
+                  flush=True)
+        except Exception as e:
+            print(f"decrypt check failed: {e!r}", flush=True)
+            results["decrypt_check_error"] = repr(e)
+    persist()
     print(json.dumps(results))
 
 

@@ -503,6 +503,24 @@ class Evaluator:
     def probe(self, ct: Ciphertext, count: int = 8) -> np.ndarray:
         return np.real(self.decrypt(ct))[..., :count]
 
+    def probe_expanded(self, ct: Ciphertext, stride: int,
+                       count: int = 8) -> np.ndarray:
+        """Slot j*stride for j < count — reads 'expanded' layout values
+        (print_expanded parity, FHEController.cpp:738-780).  Host decrypt:
+        zero fresh device compiles."""
+        return np.real(self.decrypt_host(ct))[..., : count * stride: stride]
+
+    def probe_padded(self, ct: Ciphertext, padding: int,
+                     count: int = 8) -> np.ndarray:
+        """Every `padding`-th slot (print_padded parity, cpp:782-818)."""
+        return np.real(self.decrypt_host(ct))[..., : count * padding: padding]
+
+    def probe_min_max(self, ct: Ciphertext) -> tuple[float, float]:
+        """(min, max) over real slots — the reference's range probe that
+        feeds Chebyshev interval choices (print_min_max, cpp:820-826)."""
+        vals = np.real(self.decrypt_host(ct))
+        return float(vals.min()), float(vals.max())
+
 
 # ----------------------------------------------------------------------
 # jitted device composites — all tables arrive as pytree args, so the

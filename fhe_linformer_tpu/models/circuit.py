@@ -229,7 +229,8 @@ class EncryptedLinformer:
         return _stack_cat(outs)
 
     def ffn(self, x_cts: Ciphertext, use_containers: bool = True,
-            boot=None, token_chunk: int | None = None) -> Ciphertext:
+            boot=None, token_chunk: int | None = None,
+            _force_containers: bool = False) -> Ciphertext:
         """FFN up (d->d_ffn in d-blocks) + GELU + down (d_ffn->d).
         x_cts: (S, ...) expanded.  Returns (S, ...) expanded-dirty.
 
@@ -255,13 +256,15 @@ class EncryptedLinformer:
         S_in = x_cts.c0.shape[0]
         if token_chunk and S_in > token_chunk:
             # every chunk must take the same (container) path so outputs
-            # land on identical (nl, scale)
+            # land on identical (nl, scale) — forced even for a small
+            # remainder chunk (zero-padded to one container)
             assert token_chunk * (w.W1.shape[0] // d) > ops.slots // d
             outs = []
             for s in range(0, S_in, token_chunk):
                 part = x_cts.with_data(x_cts.c0[s: s + token_chunk],
                                        x_cts.c1[s: s + token_chunk])
-                outs.append(self.ffn(part, use_containers, boot))
+                outs.append(self.ffn(part, use_containers, boot,
+                                     _force_containers=True))
             return _stack_cat(outs)
         nblk = w.W1.shape[0] // d
         import jax.numpy as jnp
@@ -276,7 +279,7 @@ class EncryptedLinformer:
         S = h.c0.shape[1]
 
         G = ops.slots // d                     # pieces per container
-        if use_containers and nblk * S > G:
+        if use_containers and (nblk * S > G or _force_containers):
             # flatten to (S*nblk) in container order: piece j = u*nblk + b
             c0 = jnp.swapaxes(h.c0, 0, 1).reshape((S * nblk,) + h.c0.shape[2:])
             c1 = jnp.swapaxes(h.c1, 0, 1).reshape((S * nblk,) + h.c1.shape[2:])

@@ -112,6 +112,46 @@ def test_ef_project_stage(setup):
     np.testing.assert_allclose(got, want, atol=5e-3)
 
 
+def test_multichunk_attention_stage(setup):
+    """S_total > d: attention spans 3 query chunks (the reference's
+    two-stream Q split, main_2.cpp:187-221, generalized)."""
+    ev, w, emb, inter = setup
+    rng = np.random.default_rng(21)
+    emb_l = rng.normal(0, 0.3, (17, D))          # S_total = 18 > d = 8
+    w_l = golden.random_weights(d=D, k_lin=KLIN, d_ffn=FFN, n_classes=NCLS,
+                                max_seq=24, seed=6, scale=0.35)
+    _, inter_l = golden.forward(w_l, emb_l, return_intermediates=True)
+    circ = _circ(ev, w_l, inter_l)
+    x_cts, xe, xf, S_total = circ.encrypt_inputs(emb_l)
+    assert S_total > D                            # really multi-chunk
+    out = circ.attention(x_cts, xe, xf, S_total)
+    got = _lane0(circ, out, S_total, D)
+    x_in, _, _ = golden.client_preprocess(w_l, emb_l)
+    want = x_in + inter_l["attn_out"]
+    np.testing.assert_allclose(got, want, atol=0.03)
+
+
+def test_multichunk_wrap_ffn_stage(setup):
+    """S_total > d: wrap/unwrap span 3 chunks and the FFN runs the
+    token-chunked container path (HBM lever used at S=700)."""
+    ev, w, emb, inter = setup
+    circ = _circ(ev, w, inter)
+    rng = np.random.default_rng(22)
+    X = rng.normal(0, 0.4, (18, D))
+    cts = _enc_expanded(circ, X)
+    wrapped = circ.wrap_tokens(cts)
+    assert wrapped.c0.shape[0] == 3
+    back = circ.unwrap_tokens(wrapped, 18)
+    np.testing.assert_allclose(_lane0(circ, back, 18, D), X, atol=5e-3)
+    # chunked FFN (every chunk takes the container path) vs unchunked
+    Xn = golden.affine_norm(X, w.a1, w.b1, w.c1, 18)
+    cts2 = _enc_expanded(circ, Xn)
+    out = circ.ffn(cts2, token_chunk=8)
+    got = _lane0(circ, out, 18, D)
+    want = golden.gelu(Xn @ w.W1.T + w.B1[None]) @ w.W2.T + w.B2[None]
+    np.testing.assert_allclose(got, want, atol=0.03)
+
+
 def test_pooler_classifier_stage(setup):
     ev, w, emb, inter = setup
     circ = _circ(ev, w, inter)

@@ -143,3 +143,17 @@ def test_galois_perm_factored_matches_flat():
         got = np.asarray(_apply_gperm(jnp.asarray(v),
                                       ctx.galois_perm_factored(t)))
         np.testing.assert_array_equal(got, v[..., perm])
+
+
+def test_probe_family(ev):
+    """Strided/padded/min-max decrypt probes (FHEController print_expanded/
+    print_padded/print_min_max parity, cpp:700-826)."""
+    z = _rand(CFG.slots, 31)
+    ct = ev.encrypt(z)
+    np.testing.assert_allclose(ev.probe(ct, 4), z[:4], atol=2e-4)
+    np.testing.assert_allclose(ev.probe_expanded(ct, stride=8, count=4),
+                               z[:32:8], atol=2e-4)
+    np.testing.assert_allclose(ev.probe_padded(ct, padding=4, count=4),
+                               z[:16:4], atol=2e-4)
+    lo, hi = ev.probe_min_max(ct)
+    assert abs(lo - z.min()) < 2e-4 and abs(hi - z.max()) < 2e-4

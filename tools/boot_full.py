@@ -90,19 +90,43 @@ def main(batch: int = 4):
           f"({batch / t_warm:.2f} ct/s)", flush=True)
     hbm("post-boot")
 
-    got = np.real(ev.decrypt_host(out))
-    prec = min(approx_error_log2(m[i], got[i]) for i in range(batch))
-    print(f"precision: {prec:.2f} bits (log2 inf-norm), "
-          f"usable levels after boot: {out.nl - 1}", flush=True)
-
     results.update({
         "bootstrap_batch": batch,
         "bootstrap_warm_s": round(t_warm, 3),
         "bootstrap_ct_per_s": round(batch / t_warm, 3),
-        "bootstrap_precision_bits": round(prec, 2),
         "bootstrap_out_nl": out.nl,
         "bootstrap_first_s": round(t_first, 1),
     })
+    _persist(results)            # timing is safe even if the decrypt OOMs
+
+    # free every device buffer the precision check doesn't need: on the
+    # shared dev chip the post-boot HBM high-water can leave no headroom
+    # even for the d2h staging of a 10 MB download (observed 2026-08-20)
+    import gc
+    del low, ct
+    ev._enc_cache.clear()
+    getattr(booter, "_fold_cache", {}).clear()
+    gc.collect()
+    try:
+        try:
+            got = np.real(ev.decrypt_host(out))
+        except Exception as e:
+            # the tunneled d2h fails on ~10 MB buffers when the chip is
+            # near its high-water; mod-switch to 3 limbs on device first
+            # (one fresh compile, but a 20x smaller download)
+            print(f"raw download failed ({e!r}); retrying after drop_to(3)",
+                  flush=True)
+            out = ev.drop_to(out, 3)
+            out.c0.block_until_ready()
+            got = np.real(ev.decrypt_host(out))
+        prec = min(approx_error_log2(m[i], got[i]) for i in range(batch))
+        print(f"precision: {prec:.2f} bits (log2 inf-norm), "
+              f"usable levels after boot: {out.nl - 1}", flush=True)
+        results["bootstrap_precision_bits"] = round(prec, 2)
+        results.pop("bootstrap_precision_error", None)
+    except Exception as e:
+        print(f"precision decrypt failed: {e!r}", flush=True)
+        results["bootstrap_precision_error"] = repr(e)
 
     # single-ct latency (opt-in: batch-1 shapes recompile the whole
     # pipeline, which costs many minutes of remote compilation)
@@ -117,13 +141,17 @@ def main(batch: int = 4):
         print(f"single-ct bootstrap warm: "
               f"{results['bootstrap_single_ct_warm_s']}s", flush=True)
 
+    _persist(results)
+    print(json.dumps(results))
+
+
+def _persist(results):
     path = os.path.join(REPO, "bench_details.json")
     det = {}
     if os.path.exists(path):
         det = json.load(open(path))
     det.update(results)
     json.dump(det, open(path, "w"), indent=1)
-    print(json.dumps(results))
 
 
 if __name__ == "__main__":
