@@ -74,6 +74,7 @@ def main(S=128, boot=False, num_scaling=44, full=True):
     keys = generate_keys(ctx, rotations=tuple(sorted(rots)), conj=boot)
     print(f"keys {time.time()-t0:.1f}s ({len(rots)} rotations)", flush=True)
     ev = Evaluator(ctx, keys)
+    ev.prefetch_host_sk()     # d2h while HBM is near-empty (see evaluator)
     booter = None
     if boot:
         t0 = time.time()
@@ -194,8 +195,22 @@ def main(S=128, boot=False, num_scaling=44, full=True):
             circ._pt_cache.clear()
             if booter is not None:
                 getattr(booter, "_fold_cache", {}).clear()
+            # multi-GB of rotation/relin keys: the decrypt below is pure
+            # host math (sk cached at startup), so free ALL of it — the
+            # d2h staging fails at the arena high-water otherwise
+            ev.release_device_keys()
+            del keys
             gc.collect()
-            vals = np.real(circ.ev.decrypt_host(out))
+            vals = None
+            for attempt in range(4):
+                try:
+                    vals = np.real(circ.ev.decrypt_host(out))
+                    break
+                except Exception as e:   # async deallocs may lag the gc
+                    print(f"decrypt attempt {attempt}: {e!r}", flush=True)
+                    time.sleep(5)
+            if vals is None:
+                raise RuntimeError("decrypt_host failed after retries")
             logits = vals[: w.Wc.shape[0] * circ.ops.d: circ.ops.d]
             want = inter["logits"]
             err = float(np.max(np.abs(logits - want)))

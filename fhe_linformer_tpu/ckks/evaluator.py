@@ -56,6 +56,24 @@ class Evaluator:
         self.encoder = Encoder(ctx.cfg.n)
         self._enc_rng = np.random.default_rng(ctx.cfg.seed ^ 0x5EED)
         self._enc_cache: dict = {}
+        self._sk_host: np.ndarray | None = None
+
+    def prefetch_host_sk(self) -> None:
+        """Cache the secret key's eval-domain residues host-side.  Call
+        EARLY (right after keygen, while HBM is near-empty): on the shared
+        dev chip, d2h transfers fail with ResourceExhausted once the
+        arena hits its high-water, and decrypt_host needs the sk."""
+        if self._sk_host is None and self.keys is not None \
+                and self.keys.sk is not None:
+            self._sk_host = np.asarray(self.keys.sk.eval_full)
+
+    def release_device_keys(self) -> None:
+        """Drop every device-side key buffer (relin + rotation + public:
+        multi-GB at production parameters) so a final decrypt_host
+        verification has d2h headroom.  The evaluator afterwards supports
+        ONLY decrypt_host (the host sk is cached first)."""
+        self.prefetch_host_sk()
+        self.keys = None
 
     def encode_cached(self, key, values, nl: int | None = None,
                       scale: float | None = None) -> Plaintext:
@@ -246,12 +264,14 @@ class Evaluator:
         this does — so verification probes (bootstrap precision, bench
         decrypt checks) use this path."""
         ctx = self.ctx
-        sk = self.keys.sk
-        assert sk is not None, "secret key not retained"
+        if self._sk_host is None:
+            sk = self.keys.sk
+            assert sk is not None, "secret key not retained"
+            self._sk_host = np.asarray(sk.eval_full)
         m = min(crt_limbs, ct.nl)
         c0 = np.asarray(ct.c0)[..., :m, :].astype(np.uint64)
         c1 = np.asarray(ct.c1)[..., :m, :].astype(np.uint64)
-        s = np.asarray(sk.eval_full)[:m, :].astype(np.uint64)
+        s = self._sk_host[:m, :].astype(np.uint64)
         qs = np.asarray(ctx.qs[:m], np.uint64).reshape(-1, 1)
         m_eval = (c0 + c1 * s % qs) % qs          # products < 2^60 exact
         from ..reference import NttPlan

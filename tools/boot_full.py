@@ -49,6 +49,7 @@ def main(batch: int = 4):
     keys = generate_keys(ctx, rotations=rots, conj=True)
     print(f"keys {time.time()-t0:.1f}s", flush=True)
     ev = Evaluator(ctx, keys)
+    ev.prefetch_host_sk()     # d2h while HBM is near-empty (see evaluator)
     t0 = time.time()
     booter = Bootstrapper(ev, cfg)
     print(f"bootstrapper setup {time.time()-t0:.1f}s "
@@ -99,35 +100,6 @@ def main(batch: int = 4):
     })
     _persist(results)            # timing is safe even if the decrypt OOMs
 
-    # free every device buffer the precision check doesn't need: on the
-    # shared dev chip the post-boot HBM high-water can leave no headroom
-    # even for the d2h staging of a 10 MB download (observed 2026-08-20)
-    import gc
-    del low, ct
-    ev._enc_cache.clear()
-    getattr(booter, "_fold_cache", {}).clear()
-    gc.collect()
-    try:
-        try:
-            got = np.real(ev.decrypt_host(out))
-        except Exception as e:
-            # the tunneled d2h fails on ~10 MB buffers when the chip is
-            # near its high-water; mod-switch to 3 limbs on device first
-            # (one fresh compile, but a 20x smaller download)
-            print(f"raw download failed ({e!r}); retrying after drop_to(3)",
-                  flush=True)
-            out = ev.drop_to(out, 3)
-            out.c0.block_until_ready()
-            got = np.real(ev.decrypt_host(out))
-        prec = min(approx_error_log2(m[i], got[i]) for i in range(batch))
-        print(f"precision: {prec:.2f} bits (log2 inf-norm), "
-              f"usable levels after boot: {out.nl - 1}", flush=True)
-        results["bootstrap_precision_bits"] = round(prec, 2)
-        results.pop("bootstrap_precision_error", None)
-    except Exception as e:
-        print(f"precision decrypt failed: {e!r}", flush=True)
-        results["bootstrap_precision_error"] = repr(e)
-
     # single-ct latency (opt-in: batch-1 shapes recompile the whole
     # pipeline, which costs many minutes of remote compilation)
     if os.environ.get("FHE_BOOT_SINGLE"):
@@ -140,6 +112,38 @@ def main(batch: int = 4):
         results["bootstrap_single_ct_warm_s"] = round(time.time() - t0, 3)
         print(f"single-ct bootstrap warm: "
               f"{results['bootstrap_single_ct_warm_s']}s", flush=True)
+        _persist(results)
+
+    # free every device buffer the precision check doesn't need — incl.
+    # ALL key material (the host sk was prefetched at startup): on the
+    # shared dev chip the post-boot HBM high-water fails even the d2h
+    # staging of a 10 MB download (observed 2026-08-20)
+    import gc
+    del low, ct
+    ev._enc_cache.clear()
+    getattr(booter, "_fold_cache", {}).clear()
+    ev.release_device_keys()
+    del keys
+    gc.collect()
+    try:
+        got = None
+        for attempt in range(4):
+            try:
+                got = np.real(ev.decrypt_host(out))
+                break
+            except Exception as e:   # async deallocs may lag the gc
+                print(f"decrypt attempt {attempt}: {e!r}", flush=True)
+                time.sleep(5)
+        if got is None:
+            raise RuntimeError("decrypt_host failed after retries")
+        prec = min(approx_error_log2(m[i], got[i]) for i in range(batch))
+        print(f"precision: {prec:.2f} bits (log2 inf-norm), "
+              f"usable levels after boot: {out.nl - 1}", flush=True)
+        results["bootstrap_precision_bits"] = round(prec, 2)
+        results.pop("bootstrap_precision_error", None)
+    except Exception as e:
+        print(f"precision decrypt failed: {e!r}", flush=True)
+        results["bootstrap_precision_error"] = repr(e)
 
     _persist(results)
     print(json.dumps(results))

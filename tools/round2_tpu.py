@@ -29,8 +29,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 STEPS = {
     "boot": [sys.executable, "-u", "tools/boot_full.py", "4"],
-    "layers": [sys.executable, "-u", "bench_layer.py", "128", "700",
-               "--boot"],
+    "s128": [sys.executable, "-u", "bench_layer.py", "128", "--boot"],
+    "s700": [sys.executable, "-u", "bench_layer.py", "700", "--boot"],
     "bsgs": [sys.executable, "-u", "tools/ab_bsgs.py"],
 }
 
@@ -48,4 +48,4 @@ def main(steps):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["boot", "layers", "bsgs"])
+    main(sys.argv[1:] or ["boot", "s128", "s700", "bsgs"])
