@@ -52,9 +52,14 @@ def main(S=128, boot=False, num_scaling=44, full=True):
 
     t0 = time.time()
     if boot:
+        import os
         from fhe_linformer_tpu.config import get
         from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
         cfg = get("linformer-boot").ckks
+        if S > 128:
+            # large-S HBM budget: cap each bootstrap's batch (uniform
+            # batch-2 shapes -> one boot compile serves every hook)
+            os.environ.setdefault("FHE_BOOT_CHUNK", "2")
     else:
         cfg = CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=num_scaling,
                          dnum=4)
@@ -110,6 +115,7 @@ def main(S=128, boot=False, num_scaling=44, full=True):
         out = f(*a, **k)
         out.c0.block_until_ready()
         t_first = time.time() - t0
+        out = None          # don't hold two S-sized outputs during rerun
         ks0 = GLOBAL_TIMERS.counts["keyswitch"]
         b0 = GLOBAL_TIMERS.counts["bootstrap"]
         t0 = time.time()
@@ -148,7 +154,10 @@ def main(S=128, boot=False, num_scaling=44, full=True):
         except Exception as e:
             print(f"profiler stop failed: {e!r}", flush=True)
     if full:
+        # inputs are dead after attention; at S=700 they hold ~2 GB
+        x_cts = xe = xf = None
         wrapped = stage("wrap1", circ.wrap_tokens, attn)
+        attn = None
         wrapped = stage("affine1", circ.affine, wrapped, w.a1, w.b1, w.c1,
                         S_total)
         if booter is not None:
@@ -157,11 +166,15 @@ def main(S=128, boot=False, num_scaling=44, full=True):
             # materializing the S-token unwrap (HBM: levels x tokens)
             wrapped = ev.drop_to(wrapped, min(wrapped.nl, 16))
         x2 = stage("unwrap1", circ.unwrap_tokens, wrapped, S_total)
+        wrapped = None
         y = stage("ffn_gelu", circ.ffn, x2, boot=booter,
                   token_chunk=128 if S_total > 128 else None)
         x2m, ym = ev.match(x2, y)
+        x2 = y = None
         res = ev.add(x2m, ym)
+        x2m = ym = None
         wrapped2 = circ.wrap_tokens(res)
+        res = None
         wrapped2 = circ.affine(wrapped2, w.a2, w.b2, w.c2, S_total)
         if booter is not None:
             wrapped2 = stage("boot2", booter.bootstrap, wrapped2)

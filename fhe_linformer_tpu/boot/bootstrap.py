@@ -222,8 +222,32 @@ class Bootstrapper:
 
     def bootstrap(self, ct: Ciphertext) -> Ciphertext:
         """Refresh a depleted ciphertext to the full chain minus the boot
-        depth (EvalBootstrap parity)."""
+        depth (EvalBootstrap parity).
+
+        FHE_BOOT_CHUNK=k caps the batch processed at once: the raised
+        working set is batch x full-basis wide, and at S=700 a 6-chunk
+        scores batch OOM'd the shared chip; k=2 gives uniform shapes
+        (one compile serves every boot site in the layer) at ~1.3x the
+        amortized cost of one big batch."""
         from ..utils.timing import GLOBAL_TIMERS
+        import os
+        bc = int(os.environ.get("FHE_BOOT_CHUNK", "0"))
+        lead = ct.c0.shape[:-2]
+        if bc and len(lead) == 1 and lead[0] > bc:
+            import jax.numpy as jnp
+            outs = []
+            for s in range(0, lead[0], bc):
+                part = ct.with_data(ct.c0[s: s + bc], ct.c1[s: s + bc])
+                if part.c0.shape[0] < bc:      # pad: keep shapes uniform
+                    pad = bc - part.c0.shape[0]
+                    z = jnp.zeros((pad,) + part.c0.shape[1:], part.c0.dtype)
+                    part = part.with_data(jnp.concatenate([part.c0, z]),
+                                          jnp.concatenate([part.c1, z]))
+                outs.append(self.bootstrap(part))
+            full = outs[0].with_data(
+                jnp.concatenate([o.c0 for o in outs]),
+                jnp.concatenate([o.c1 for o in outs]))
+            return full.with_data(full.c0[: lead[0]], full.c1[: lead[0]])
         b = 1
         for x in ct.c0.shape[:-2]:
             b *= int(x)

@@ -133,6 +133,10 @@ class EncryptedLinformer:
             sc = ops.interleave_batch(sc, stride=1)  # lanes = queries
             chunks.append(sc)
         scores = _stack(chunks)                      # (nchunk, ...) batch
+        # free the (S, limbs, n) query buffers before the raised-level
+        # boot inside eval_exp — at S=700 they are ~1.7 GB the mid-exp
+        # bootstrap's working set cannot spare
+        del Q, Qb, chunks, prod, qc, sc
 
         # depth the rest of attention needs after the Taylor: power-raise
         # (3) + deg-d inverse Chebyshev + mix/proj/affine tail (~6)
@@ -151,9 +155,12 @@ class EncryptedLinformer:
             mq = m if (c + 1) * m <= Sq else Sq - c * m
             outs.append(self.ops.unwrap_to_repeated(one, mq))
         attn_q = _stack_cat(outs)                    # (Sq, ...) repeated
+        del outs, attn, scores, inv, ssum
 
         prod = ev.mul(attn_q, V_w)
+        del attn_q
         O = ops.rotsum(prod, nb, d)                  # (Sq,) repeated = attn @ V
+        del prod
 
         wo = self._pt("WO_cr", _cr_flat(w.WO, nb, d), O.nl)
         out = ev.mul_plain(O, wo)

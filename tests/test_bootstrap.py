@@ -67,3 +67,21 @@ def test_bootstrap_then_compute(boot_setup):
     sq = ev.mul(out, out)
     got = np.real(np.asarray(ev.decrypt(sq)))
     np.testing.assert_allclose(got, m * m, atol=4e-2)
+
+
+def test_bootstrap_batch_chunking(boot_setup, monkeypatch):
+    """FHE_BOOT_CHUNK caps the per-call batch (large-S HBM lever): a
+    batch-3 bootstrap chunked 2+pad must equal the unchunked result."""
+    ev, booter = boot_setup
+    rng = np.random.default_rng(9)
+    m = rng.uniform(-0.9, 0.9, (3, CFG.slots))
+    low = ev.drop_to(ev.encrypt(m, batch=True), 1)
+    full = booter.bootstrap(low)
+    monkeypatch.setenv("FHE_BOOT_CHUNK", "2")
+    chunked = booter.bootstrap(low)
+    assert chunked.c0.shape == full.c0.shape
+    assert chunked.nl == full.nl and chunked.scale == full.scale
+    a = np.real(np.asarray(ev.decrypt(full)))
+    b = np.real(np.asarray(ev.decrypt(chunked)))
+    np.testing.assert_allclose(b, m, atol=2e-2)
+    np.testing.assert_allclose(a, b, atol=2e-2)
