@@ -30,6 +30,17 @@ LIMBS = 24
 BATCH = 8
 KSB = 4          # key-switch throughput peaks at small batches (tools/scan_batch.py)
 
+# Wall-clock budget (s): the driver kills bench.py at its own timeout
+# (round 2: rc=124, parsed null — the round had NO perf record).  The
+# bench therefore budgets itself: NTT headline first, then the key-switch
+# upgrade only while time remains, with adaptive repeats.
+BUDGET_S = float(os.environ.get("FHE_BENCH_BUDGET_S", "450"))
+_T_START = time.time()
+
+
+def _left() -> float:
+    return BUDGET_S - (time.time() - _T_START)
+
 
 def _marginal(build, k_lo, k_hi, iters=7):
     """Min wall time of build(k)() per marginal chained step.  Min, not
@@ -101,6 +112,11 @@ def main():
         "vs_baseline": round(ntts_per_s / cpu_ntts_per_s, 1),
     }
     try:
+        # the key-switch upgrade costs ~4 remote compiles + keygen; with
+        # less than this on the clock the NTT headline ships instead of a
+        # timeout shipping nothing (round-2 rc=124 lesson)
+        if _left() < 120:
+            raise TimeoutError(f"budget: {_left():.0f}s left of {BUDGET_S}")
         from fhe_linformer_tpu.ckks import (CKKSConfig, Context, Evaluator,
                                             generate_keys)
         from fhe_linformer_tpu.ckks.evaluator import (_galois_core,
@@ -138,6 +154,11 @@ def main():
         for _ in range(REPEATS):
             dt_step, tr1 = _marginal(rot_chain, 1, 17)
             samples.append(KSB / dt_step)
+            # adaptive: keep the >=1 sample already taken; stop repeating
+            # when the budget runs short (warm repeats are cheap, but the
+            # first marginal may have eaten minutes of remote compiles)
+            if _left() < 60 and samples:
+                break
         samples.sort()
         ks_per_s = samples[len(samples) // 2]
         details["keyswitch_per_s_per_chip"] = round(ks_per_s, 1)
@@ -151,19 +172,21 @@ def main():
         details["keyswitch_batch"] = KSB
         details["keyswitch_single_call_ms_batched"] = round(tr1 * 1e3, 3)
 
-        rkb, rka = ev._sliced_key(keys.relin, nl)
+        if _left() > 90:     # optional extra: ct*ct mult marginal
+            rkb, rka = ev._sliced_key(keys.relin, nl)
 
-        def mul_chain(k):
-            @jax.jit
-            def f(c0, c1):
-                return jax.lax.fori_loop(
-                    0, k, lambda i, c: _mul_relin_core(c[0], c[1], c[0], c[1],
-                                                       rkb, rka, ks_t),
-                    (c0, c1))
-            return lambda: f(ct.c0, ct.c1)
+            def mul_chain(k):
+                @jax.jit
+                def f(c0, c1):
+                    return jax.lax.fori_loop(
+                        0, k, lambda i, c: _mul_relin_core(c[0], c[1],
+                                                           c[0], c[1],
+                                                           rkb, rka, ks_t),
+                        (c0, c1))
+                return lambda: f(ct.c0, ct.c1)
 
-        dt_mul, _ = _marginal(mul_chain, 1, 17)
-        details["ctct_mult_relin_ms_per_ct"] = round(dt_mul / KSB * 1e3, 4)
+            dt_mul, _ = _marginal(mul_chain, 1, 17)
+            details["ctct_mult_relin_ms_per_ct"] = round(dt_mul / KSB * 1e3, 4)
         # CPU baseline for a key switch ~ 2*(LIMBS+k) limb NTTs equivalent
         cpu_ks_per_s = cpu_ntts_per_s / (2.5 * (ctx.num_q + ctx.k_sp))
         metric = {
@@ -172,6 +195,7 @@ def main():
             "unit": "keyswitch/s",
             "vs_baseline": round(ks_per_s / cpu_ks_per_s, 1),
         }
+        details.pop("keyswitch_error", None)   # stale error from a prior run
     except Exception as e:  # pragma: no cover — keep the headline printable
         details["keyswitch_error"] = repr(e)
 
@@ -185,6 +209,8 @@ def main():
             merged = json.load(open(path))
         except Exception:
             merged = {}
+    if "keyswitch_error" not in details:
+        merged.pop("keyswitch_error", None)    # don't resurrect a stale one
     merged.update(details)
     with open(path, "w") as f:
         json.dump(merged, f, indent=1)

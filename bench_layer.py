@@ -58,7 +58,9 @@ def main(S=128, boot=False, num_scaling=44, full=True):
         cfg = get("linformer-boot").ckks
         if S > 128:
             # large-S HBM budget: cap each bootstrap's batch (uniform
-            # batch-2 shapes -> one boot compile serves every hook)
+            # batch-2 shapes -> one boot compile serves every hook).
+            # Restored by main()'s caller-side finally: a later S in the
+            # same multi-S invocation must not inherit this.
             os.environ.setdefault("FHE_BOOT_CHUNK", "2")
     else:
         cfg = CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=num_scaling,
@@ -241,9 +243,19 @@ def main(S=128, boot=False, num_scaling=44, full=True):
 
 
 if __name__ == "__main__":
+    import os as _os
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     # multiple S values run in ONE process: the jit cache is keyed on
     # shapes and all tables ride as arguments, so the second S reuses
-    # every compiled program whose chunk shapes match
+    # every compiled program whose chunk shapes match.  FHE_BOOT_CHUNK is
+    # saved/restored per S: main() setdefaults it at S>128 and a later
+    # small-S run must not silently inherit chunked boots.
     for S in (args or ["128"]):
-        main(S=int(S), boot="--boot" in sys.argv)
+        _chunk0 = _os.environ.get("FHE_BOOT_CHUNK")
+        try:
+            main(S=int(S), boot="--boot" in sys.argv)
+        finally:
+            if _chunk0 is None:
+                _os.environ.pop("FHE_BOOT_CHUNK", None)
+            else:
+                _os.environ["FHE_BOOT_CHUNK"] = _chunk0

@@ -231,6 +231,12 @@ class Bootstrapper:
         amortized cost of one big batch."""
         from ..utils.timing import GLOBAL_TIMERS
         import os
+        # count the REAL batch once, before any chunk padding: padded
+        # zero-cts would otherwise inflate layer_bootstraps / ct/s metrics
+        b = 1
+        for x in ct.c0.shape[:-2]:
+            b *= int(x)
+        GLOBAL_TIMERS.count("bootstrap", b)
         bc = int(os.environ.get("FHE_BOOT_CHUNK", "0"))
         lead = ct.c0.shape[:-2]
         if bc and len(lead) == 1 and lead[0] > bc:
@@ -243,15 +249,15 @@ class Bootstrapper:
                     z = jnp.zeros((pad,) + part.c0.shape[1:], part.c0.dtype)
                     part = part.with_data(jnp.concatenate([part.c0, z]),
                                           jnp.concatenate([part.c1, z]))
-                outs.append(self.bootstrap(part))
+                outs.append(self._bootstrap_impl(part))
             full = outs[0].with_data(
                 jnp.concatenate([o.c0 for o in outs]),
                 jnp.concatenate([o.c1 for o in outs]))
             return full.with_data(full.c0[: lead[0]], full.c1[: lead[0]])
-        b = 1
-        for x in ct.c0.shape[:-2]:
-            b *= int(x)
-        GLOBAL_TIMERS.count("bootstrap", b)
+        return self._bootstrap_impl(ct)
+
+    def _bootstrap_impl(self, ct: Ciphertext) -> Ciphertext:
+        """One uncounted, unchunked bootstrap (bootstrap() is the entry)."""
         s_in = ct.scale
         raised = self.mod_raise(ct)
         enc = self.coeffs_to_slots(raised)

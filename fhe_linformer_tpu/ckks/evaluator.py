@@ -71,9 +71,20 @@ class Evaluator:
         """Drop every device-side key buffer (relin + rotation + public:
         multi-GB at production parameters) so a final decrypt_host
         verification has d2h headroom.  The evaluator afterwards supports
-        ONLY decrypt_host (the host sk is cached first)."""
+        ONLY decrypt_host (the host sk is cached first); any key-consuming
+        op raises a descriptive error via _require_keys."""
         self.prefetch_host_sk()
         self.keys = None
+        self._keys_released = True
+
+    def _require_keys(self, what: str):
+        """Descriptive failure when device keys were released (ADVICE r2:
+        a bare AttributeError on NoneType was opaque)."""
+        if self.keys is None:
+            raise RuntimeError(
+                f"{what} needs device keys, but release_device_keys() was "
+                "called — only decrypt_host() works on this evaluator now")
+        return self.keys
 
     def encode_cached(self, key, values, nl: int | None = None,
                       scale: float | None = None) -> Plaintext:
@@ -227,7 +238,7 @@ class Evaluator:
         v_e = ctx.ntt.fwd(_rns_spread_i32(v, *consts), limbs)
         e0_e = ctx.ntt.fwd(_rns_spread_i32(e0, *consts), limbs)
         e1_e = ctx.ntt.fwd(_rns_spread_i32(e1, *consts), limbs)
-        p0 = self.keys.pk.p0[:nl]
+        p0 = self._require_keys("encrypt").pk.p0[:nl]
         p1 = self.keys.pk.p1[:nl]
         c0, c1 = _encrypt_core(p0, p1, v_e, e0_e, e1_e, pt.data, *consts)
         return Ciphertext(c0, c1, nl, pt.scale)
@@ -240,7 +251,7 @@ class Evaluator:
         HBM/transfer hot spot (the iNTT of 19+ limbs x batch at 2^15
         OOM'd the shared dev chip)."""
         ctx = self.ctx
-        sk = self.keys.sk
+        sk = self._require_keys("decrypt").sk
         assert sk is not None, "secret key not retained"
         ct = self.drop_to(ct, min(ct.nl, max(crt_limbs, 1)))
         limbs = ctx.limb_idx(ct.nl)
@@ -425,7 +436,7 @@ class Evaluator:
         _COUNTS.count("keyswitch", _nct(a))
         nl = a.nl
         ks = self.ctx.ks_tables(nl)
-        kb, ka = self._sliced_key(self.keys.relin, nl)
+        kb, ka = self._sliced_key(self._require_keys("mul/relin").relin, nl)
         bshape = a.c0.shape[:-2]
         tail = a.c0.shape[-2:]
         chunk = self._heavy_chunk(nl)
@@ -467,15 +478,17 @@ class Evaluator:
         Matches EvalRotate sign (FHEController::rotate, cpp:434-436)."""
         if r % self.ctx.cfg.slots == 0:
             return ct
-        key = self.keys.rot.get(r % self.ctx.cfg.slots) or \
-            self.keys.rot.get(r % self.ctx.cfg.slots - self.ctx.cfg.slots)
+        rkeys = self._require_keys("rotate")
+        key = rkeys.rot.get(r % self.ctx.cfg.slots) or \
+            rkeys.rot.get(r % self.ctx.cfg.slots - self.ctx.cfg.slots)
         assert key is not None, f"no rotation key for shift {r}"
         t = self.ctx.galois_t(r)
         return self._galois(ct, t, key)
 
     def conjugate(self, ct: Ciphertext) -> Ciphertext:
-        assert self.keys.conj is not None
-        return self._galois(ct, self.ctx.conj_t(), self.keys.conj)
+        ck = self._require_keys("conjugate").conj
+        assert ck is not None
+        return self._galois(ct, self.ctx.conj_t(), ck)
 
     def rotate_hoisted(self, ct: Ciphertext, rots) -> dict:
         """{r: rotate(ct, r)} with the key-switch decomposition computed
@@ -491,7 +504,8 @@ class Evaluator:
             if rr == 0:
                 out[r] = ct
                 continue
-            key = self.keys.rot.get(rr) or self.keys.rot.get(rr - ctx.cfg.slots)
+            hk = self._require_keys("rotate_hoisted")
+            key = hk.rot.get(rr) or hk.rot.get(rr - ctx.cfg.slots)
             assert key is not None, f"no rotation key for shift {r}"
             _COUNTS.count("rotation_hoisted", _nct(ct))
             _COUNTS.count("keyswitch", _nct(ct))

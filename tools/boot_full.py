@@ -140,20 +140,21 @@ def main(batch: int = 4):
         print(f"precision: {prec:.2f} bits (log2 inf-norm), "
               f"usable levels after boot: {out.nl - 1}", flush=True)
         results["bootstrap_precision_bits"] = round(prec, 2)
-        results.pop("bootstrap_precision_error", None)
+        _persist(results, drop=("bootstrap_precision_error",))
     except Exception as e:
         print(f"precision decrypt failed: {e!r}", flush=True)
         results["bootstrap_precision_error"] = repr(e)
-
-    _persist(results)
+        _persist(results)
     print(json.dumps(results))
 
 
-def _persist(results):
+def _persist(results, drop=()):
     path = os.path.join(REPO, "bench_details.json")
     det = {}
     if os.path.exists(path):
         det = json.load(open(path))
+    for k in drop:            # a stale error key must not outlive a success
+        det.pop(k, None)
     det.update(results)
     json.dump(det, open(path, "w"), indent=1)
 

@@ -5,8 +5,10 @@ client for the life of the process (observed 2026-08-20 — after a failed
 d2h download even a 1 KB device_put raised ResourceExhausted), so
 isolation beats in-process compile reuse ACROSS steps.  WITHIN a step all
 measurements share one process (cross-process compile caching is
-ineffective for the tunneled TPU — ROADMAP.md hazards), which is why both
-bench_layer S values ride one invocation.
+ineffective for the tunneled TPU — ROADMAP.md hazards); the s128 and s700
+bench_layer runs are separate steps/subprocesses because an OOM at S=700
+must not wedge the S=128 measurement.  Superseded by round3_tpu.py, which
+also records per-step {rc, seconds, tail} manifests.
 
   1. tools/boot_full      — production bootstrap (ring 2^15, 16384 slots,
                             budget {3,3}) -> bootstrap_* rows in
