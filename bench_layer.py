@@ -40,6 +40,176 @@ def _calibrated(w, emb, inv_degree, gelu_degree, tanh_degree, exp_pow8):
     ), inter
 
 
+def main_packed(S=128, boot=True):
+    """Round-3 block-major (matrix-packed) layer: one ct per <=128 tokens,
+    BSGS block-matmuls on the double-hoisted combo, three single-ct
+    bootstraps (mid-exp / pre-GELU / pre-tanh) instead of seven.  Writes
+    bench_layer_S{S}_packed[_boot].json."""
+    import os
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fhe_tpu_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fhe_linformer_tpu.ckks import (CKKSConfig, Context, Evaluator,
+                                        generate_keys)
+    from fhe_linformer_tpu.models import golden
+    from fhe_linformer_tpu.models.circuit_packed import PackedLinformer
+    from fhe_linformer_tpu.linalg.blockmat import BlockOps
+    from fhe_linformer_tpu.utils.timing import GLOBAL_TIMERS
+
+    t0 = time.time()
+    if boot:
+        from fhe_linformer_tpu.config import get
+        from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
+        cfg = get("linformer-boot").ckks
+    else:
+        cfg = CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=44, dnum=4)
+    ctx = Context(cfg)
+    print(f"context {time.time()-t0:.1f}s basis={len(ctx.basis)}", flush=True)
+
+    pow2 = set()
+    s = 1
+    while s < cfg.slots:
+        pow2 |= {s, -s}
+        s *= 2
+    bs = 16
+    babies = {j for j in range(1, bs) if j & (j - 1)}
+    bootcfg = None
+    boot_rots = set()
+    if boot:
+        bootcfg = BootConfig()
+        boot_rots = set(Bootstrapper.rotations_for(cfg.n, bootcfg))
+    t0 = time.time()
+    # circuit-only keys at a reduced basis (max circuit level is the boot
+    # output ~19; 22 leaves margin) — the key-HBM lever of KSKey.max_nl
+    reduced = tuple(sorted((pow2 | babies) - boot_rots))
+    keys = generate_keys(ctx, rotations=tuple(sorted(boot_rots)), conj=boot,
+                         rotations_reduced=reduced,
+                         reduced_max_nl=22 if boot else None)
+    print(f"keys {time.time()-t0:.1f}s ({len(boot_rots)} full + "
+          f"{len(reduced)} reduced rotations)", flush=True)
+    ev = Evaluator(ctx, keys)
+    ev.prefetch_host_sk()
+    booter = None
+    if boot:
+        t0 = time.time()
+        booter = Bootstrapper(ev, bootcfg)
+        print(f"bootstrapper {time.time()-t0:.1f}s", flush=True)
+
+    w = golden.random_weights(d=128, k_lin=32, d_ffn=512, n_classes=20,
+                              max_seq=S + 4, seed=3, scale=0.3)
+    rng = np.random.default_rng(0)
+    emb = rng.normal(0, 0.3, (S - 1, 128))
+    deg = 119 if boot else 27
+    params, inter = _calibrated(w, emb, inv_degree=deg, gelu_degree=deg,
+                                tanh_degree=247 if boot else 27,
+                                exp_pow8=False)
+    circ = PackedLinformer(ev, w, params, bs=bs)
+
+    t0 = time.time()
+    input_nl = 8 if boot else None
+    x_ct, xe, xf, S_total = circ.encrypt_inputs(emb, nl=input_nl)
+    x_ct.c0.block_until_ready()
+    print(f"encrypt_inputs {time.time()-t0:.1f}s S_total={S_total} "
+          f"chunks={x_ct.c0.shape[0]} nl={x_ct.nl}", flush=True)
+
+    results = {"S_total": S_total, "boot": boot, "packed": True,
+               "basis": len(ctx.basis), "chunks": int(x_ct.c0.shape[0])}
+    out_name = f"bench_layer_S{S}_packed{'_boot' if boot else ''}.json"
+
+    def persist():
+        with open(out_name, "w") as fh:
+            json.dump(results, fh, indent=1)
+
+    def stage(name, f, *a, **k):
+        t0 = time.time()
+        out = f(*a, **k)
+        out.c0.block_until_ready()
+        t_first = time.time() - t0
+        out = None
+        ks0 = GLOBAL_TIMERS.counts["keyswitch"]
+        cr0 = GLOBAL_TIMERS.counts["combo_rot"]
+        b0 = GLOBAL_TIMERS.counts["bootstrap"]
+        t0 = time.time()
+        out2 = f(*a, **k)
+        out2.c0.block_until_ready()
+        t_warm = time.time() - t0
+        results[name] = round(t_warm, 3)
+        results[f"{name}_keyswitches"] = \
+            GLOBAL_TIMERS.counts["keyswitch"] - ks0
+        results[f"{name}_combo_rots"] = \
+            GLOBAL_TIMERS.counts["combo_rot"] - cr0
+        nb_ = GLOBAL_TIMERS.counts["bootstrap"] - b0
+        if nb_:
+            results[f"{name}_bootstraps"] = nb_
+        print(f"{name}: first {t_first:.1f}s warm {t_warm:.2f}s "
+              f"(out nl={out2.nl}, {results[f'{name}_keyswitches']} ks + "
+              f"{results[f'{name}_combo_rots']} combo rots"
+              f"{', %d boots' % nb_ if nb_ else ''})", flush=True)
+        persist()
+        return out2
+
+    attn = stage("attention", circ.attention, x_ct, xe, xf, S_total,
+                 boot=booter)
+    xe = xf = None
+    attn = stage("affine1", circ.affine, attn, w.a1, w.b1, w.c1, S_total)
+    y = stage("ffn_gelu", circ.ffn, attn, boot=booter)
+    x2m, ym = circ.ev.match(attn, y)
+    attn = y = None
+    res = circ.ev.add(x2m, ym)
+    x2m = ym = None
+    res = circ.affine(res, w.a2, w.b2, w.c2, S_total)
+    out = stage("pooler_classifier", circ.pooler_classifier, res,
+                boot=booter)
+    res = None
+    total = sum(v for k, v in results.items() if isinstance(v, float))
+    results["layer_total_warm_s"] = round(total, 3)
+    results["layer_keyswitches"] = sum(
+        v for k, v in results.items() if str(k).endswith("_keyswitches"))
+    results["layer_combo_rots"] = sum(
+        v for k, v in results.items() if str(k).endswith("_combo_rots"))
+    results["layer_bootstraps"] = sum(
+        v for k, v in results.items() if str(k).endswith("_bootstraps"))
+    print(f"PACKED LAYER TOTAL (warm, single chip, S={S_total}): "
+          f"{total:.2f}s, {results['layer_keyswitches']} ks + "
+          f"{results['layer_combo_rots']} combo rots, "
+          f"{results['layer_bootstraps']} bootstraps", flush=True)
+    persist()
+    # decrypt verification vs golden (host decrypt path; free device keys
+    # first — ROADMAP HBM hazards)
+    try:
+        import gc
+        del x_ct
+        ev._enc_cache.clear()
+        if booter is not None:
+            getattr(booter, "_fold_cache", {}).clear()
+        ev.release_device_keys()
+        del keys
+        gc.collect()
+        vals = None
+        for attempt in range(4):
+            try:
+                vals = np.real(ev.decrypt_host(out))
+                break
+            except Exception as e:
+                print(f"decrypt attempt {attempt}: {e!r}", flush=True)
+                time.sleep(5)
+        if vals is None:
+            raise RuntimeError("decrypt_host failed after retries")
+        logits = vals[: w.Wc.shape[0]]
+        want = inter["logits"]
+        err = float(np.max(np.abs(logits - want)))
+        ok = bool(np.argmax(logits) == np.argmax(want)) and np.isfinite(err)
+        results["logits_max_err"] = round(err, 5)
+        results["argmax_matches_golden"] = ok
+        print(f"decrypt check: argmax match={ok}, max|err|={err:.4g}",
+              flush=True)
+    except Exception as e:
+        print(f"decrypt check failed: {e!r}", flush=True)
+        results["decrypt_check_error"] = repr(e)
+    persist()
+    print(json.dumps(results))
+
+
 def main(S=128, boot=False, num_scaling=44, full=True):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/fhe_tpu_tpu_cache")
@@ -253,7 +423,10 @@ if __name__ == "__main__":
     for S in (args or ["128"]):
         _chunk0 = _os.environ.get("FHE_BOOT_CHUNK")
         try:
-            main(S=int(S), boot="--boot" in sys.argv)
+            if "--packed" in sys.argv:
+                main_packed(S=int(S), boot="--boot" in sys.argv)
+            else:
+                main(S=int(S), boot="--boot" in sys.argv)
         finally:
             if _chunk0 is None:
                 _os.environ.pop("FHE_BOOT_CHUNK", None)

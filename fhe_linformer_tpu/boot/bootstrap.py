@@ -204,10 +204,31 @@ class Bootstrapper:
         """sin(2 pi y) via cos Chebyshev + double angle.  pre_factor folds
         the conjugation-split constant and the [-K,K]->[-1,1] normalization
         into one exact complex multiply."""
-        import math as _math
         ev = self.ev
         pt = ev.encode(np.full(self.M, pre_factor / self.cfg.K), nl=ct.nl)
         y = ev.mul_plain(ct, pt, rescale=True)
+        return self._eval_mod_tail(y)
+
+    def eval_mod_pair(self, pair: Ciphertext) -> Ciphertext:
+        """eval_mod on the stacked (2, ...) re/im pair with per-element
+        pre-factors (0.5, -0.5j) — ONE batched Chebyshev chain instead of
+        two sequential ones (EvalMod is ~40 sequential ct ops; at batch 1
+        each is dispatch-bound on the tunneled chip)."""
+        ev = self.ev
+        rows = np.stack([np.full(self.M, 0.5 / self.cfg.K),
+                         np.full(self.M, -0.5j / self.cfg.K)])
+        pt = ev.encode(rows, nl=pair.nl, batch=True)
+        nb = pair.c0.ndim - 3          # batch dims between the pair axis
+        if nb:                         # and (nl, N)
+            import jax.numpy as jnp
+            d2 = pt.data.reshape((2,) + (1,) * nb + pt.data.shape[-2:])
+            pt = type(pt)(d2, None, pt.nl, pt.scale)
+        y = ev.mul_plain(pair, pt, rescale=True)
+        return self._eval_mod_tail(y)
+
+    def _eval_mod_tail(self, y: Ciphertext) -> Ciphertext:
+        import math as _math
+        ev = self.ev
         g = self.poly.eval_chebyshev_series(y, self.sin_coeffs)
         for _ in range(self.cfg.double_angles):
             # backstop: each squaring doubles the log-scale drift; keep it
@@ -264,9 +285,11 @@ class Bootstrapper:
         cj = self.ev.conjugate(enc)
         rsum = self.ev.add(enc, cj)            # 2 * Re
         dif = self.ev.sub(enc, cj)             # 2i * Im
-        yr = self.eval_mod(rsum, 0.5)
-        yi = self.eval_mod(dif, -0.5j)
-        yi.scale = yr.scale  # identical chains
+        pair = rsum.with_data(jnp.stack([rsum.c0, dif.c0]),
+                              jnp.stack([rsum.c1, dif.c1]))
+        g = self.eval_mod_pair(pair)           # identical chains, batch 2
+        yr = g.with_data(g.c0[0], g.c1[0])
+        yi = g.with_data(g.c0[1], g.c1[1])
         return self.slots_to_coeffs(yr, yi, s_in)
 
     def bootstrap2(self, ct: Ciphertext, prec_bits: int = 5) -> Ciphertext:

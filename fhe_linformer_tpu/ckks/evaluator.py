@@ -26,7 +26,7 @@ _OWNSKIP = os.environ.get("FHE_KS_OWNSKIP", "1") == "1"
 
 from ..ops import modarith as ma
 from ..utils.timing import GLOBAL_TIMERS as _COUNTS
-from .context import Context
+from .context import Context, GaloisPerm
 from .ciphertext import Ciphertext, Plaintext
 from .encoding import Encoder
 from .keys import KeySet, KSKey, rns_residues
@@ -87,13 +87,15 @@ class Evaluator:
         return self.keys
 
     def encode_cached(self, key, values, nl: int | None = None,
-                      scale: float | None = None) -> Plaintext:
+                      scale: float | None = None,
+                      specials: bool = False) -> Plaintext:
         """encode() memoized by a caller-supplied stable key — plaintext
         masks/weights/diagonals are hot-path constants; re-encoding them
         per call costs a host FFT + device NTT each time."""
-        k = (key, nl, scale)
+        k = (key, nl, scale, specials)
         if k not in self._enc_cache:
-            self._enc_cache[k] = self.encode(values, nl=nl, scale=scale)
+            self._enc_cache[k] = self.encode(values, nl=nl, scale=scale,
+                                             specials=specials)
         return self._enc_cache[k]
 
     # ------------------------------------------------------------------
@@ -101,15 +103,21 @@ class Evaluator:
     # ------------------------------------------------------------------
 
     def encode(self, values, nl: int | None = None, scale: float | None = None,
-               batch: bool = False) -> Plaintext:
-        """Slot values -> eval-domain plaintext at (nl, scale)."""
+               batch: bool = False, specials: bool = False) -> Plaintext:
+        """Slot values -> eval-domain plaintext at (nl, scale).
+
+        specials=True encodes over the EXTENDED basis (nl actives + the
+        special primes) — consumed only by the double-hoisted rotation
+        combo (rotate_combo), whose lazy mod-down multiplies plaintexts
+        into inner products that still live on Q*P.  Such plaintexts are
+        not valid operands for the ordinary Q-basis ops."""
         ctx = self.ctx
         nl = ctx.num_q if nl is None else nl
         scale = ctx.delta if scale is None else scale
         vals = np.atleast_2d(np.asarray(values)) if batch else \
             np.asarray(values)[None]
         coeffs = np.stack([self.encoder.encode(v, scale) for v in vals])
-        limbs = ctx.limb_idx(nl)
+        limbs = ctx.limb_idx(nl, specials=specials)
         qs = [ctx.basis[i] for i in limbs]
         if np.abs(coeffs).max() < (1 << 31):
             # device-side RNS spread: ship int32 coeffs (1/L of the residue
@@ -425,7 +433,14 @@ class Evaluator:
             cache = {}
             object.__setattr__(key, "_slices", cache)
         if nl not in cache:
-            idx = np.asarray(self.ctx.limb_idx(nl, specials=True))
+            if key.max_nl is None:
+                idx = np.asarray(self.ctx.limb_idx(nl, specials=True))
+            else:
+                # reduced-basis key: rows are [0, max_nl) + specials
+                assert nl <= key.max_nl, \
+                    f"level {nl} exceeds reduced key basis {key.max_nl}"
+                idx = np.asarray(list(range(nl)) + list(
+                    range(key.max_nl, key.max_nl + self.ctx.k_sp)))
             cache[nl] = (key.b[:, idx, :], key.a[:, idx, :])
         return cache[nl]
 
@@ -515,11 +530,149 @@ class Evaluator:
             out[r] = ct.with_data(c0, c1)
         return out
 
+    def rotate_any(self, ct: Ciphertext, r: int) -> Ciphertext:
+        """Rotate by r, composing from available keys when no dedicated
+        key exists (signed-binary over the +/- power-of-two set).  Lets
+        BSGS giant steps use arbitrary shifts without growing the multi-GB
+        rotation-key store — an extra key switch per composed step instead
+        of ~47 MB of HBM per dedicated key."""
+        slots = self.ctx.cfg.slots
+        rr = r % slots
+        if rr == 0:
+            return ct
+        keys = self._require_keys("rotate")
+        if rr in keys.rot or (rr - slots) in keys.rot:
+            return self.rotate(ct, rr)
+        for step in self._compose_shifts(rr):
+            ct = self.rotate(ct, step)
+        return ct
+
+    def _compose_shifts(self, rr: int) -> list[int]:
+        """Decompose a shift into available key shifts: the shorter of the
+        binary expansions of rr and rr - slots."""
+        slots = self.ctx.cfg.slots
+        keys = self.keys.rot
+        best = None
+        for v in (rr, rr - slots):
+            steps, x, b = [], abs(v), 0
+            sgn = 1 if v > 0 else -1
+            while x:
+                if x & 1:
+                    steps.append(sgn * (1 << b))
+                x >>= 1
+                b += 1
+            ok = all((st % slots) in keys or (st % slots - slots) in keys
+                     for st in steps)
+            if ok and (best is None or len(steps) < len(best)):
+                best = steps
+        assert best is not None, f"cannot compose rotation {rr}"
+        return best
+
+    def rotate_combo(self, ct: Ciphertext, items) -> Ciphertext:
+        """sum_j pt_j * rotate(ct, r_j) as ONE fused op: the key-switch
+        decomposition is computed once (hoisting) and the P mod-down runs
+        once on the ACCUMULATED inner products (lazy mod-down / double
+        hoisting) — each additional rotation costs only a permutation and
+        an inner product, no NTTs.  This is the engine under every BSGS
+        matmul and bootstrap transform stage.
+
+        items: [(shift, Plaintext)] where each Plaintext was encoded with
+        specials=True at a COMMON scale.  Returns the un-rescaled sum at
+        scale ct.scale * pt.scale."""
+        ks = self.ctx.ks_tables(ct.nl)
+        y_e = _hoist_decompose_core(ct.c1, ks)
+        return self.combo_from_decomp(ct, y_e, items, ks)
+
+    def combo_from_decomp(self, ct: Ciphertext, y_e, items,
+                          ks) -> Ciphertext:
+        """rotate_combo with a caller-held decomposition (shared across
+        the giant groups of one BSGS transform)."""
+        ctx = self.ctx
+        nl = ct.nl
+        slots = ctx.cfg.slots
+        rot_items = [(r, p) for r, p in items if r % slots != 0]
+        id_items = [(r, p) for r, p in items if r % slots == 0]
+        scale = items[0][1].scale
+        out = None
+        if rot_items:
+            _COUNTS.count("combo_rot", len(rot_items) * _nct(ct))
+            _COUNTS.count("keyswitch", _nct(ct))    # the one mod-down
+            gps, kbs, kas, pts = [], [], [], []
+            for r, p in rot_items:
+                rr = r % slots
+                hk = self._require_keys("rotate_combo")
+                key = hk.rot.get(rr) or hk.rot.get(rr - slots)
+                assert key is not None, f"no rotation key for shift {r}"
+                kb, ka = self._sliced_key(key, nl)
+                gps.append(ctx.galois_perm_factored(ctx.galois_t(rr)))
+                kbs.append(kb)
+                kas.append(ka)
+                assert abs(p.scale / scale - 1.0) < 1e-12
+                pts.append(p.data)
+            gammas = jnp.stack([g.gamma for g in gps])
+            bitss = jnp.stack([g.bits for g in gps])
+            rowmaps = jnp.stack([g.rowmap for g in gps])
+            c0, c1 = _hoisted_combo_core(
+                ct.c0, y_e, gammas, bitss, rowmaps,
+                jnp.stack(kbs), jnp.stack(kas), jnp.stack(pts), ks)
+            out = Ciphertext(c0, c1, nl, ct.scale * scale)
+        for r, p in id_items:
+            t = self.mul_plain(ct, _pt_q_slice(p, nl), rescale=False)
+            out = t if out is None else self.add(out, t)
+        return out
+
+    def enable_sharded_ks(self, mesh) -> None:
+        """Route Galois key switches through the limb-sharded SPMD
+        pipeline (parallel/ksprod.py: psum-based digit reduction over the
+        mesh's `limb` axis) whenever the extended basis divides the limb
+        axis.  The single-chip path remains the fallback for levels whose
+        basis doesn't tile the mesh.  BASELINE north-star: key-switch
+        partial sums as psum collectives."""
+        self._shard_mesh = mesh
+        self._shard_plans: dict = {}
+        self._shard_fns: dict = {}
+
+    def _galois_sharded(self, ct: Ciphertext, t: int, key: KSKey):
+        """SPMD execution of one unbatched Galois key switch, or None
+        when this (nl, batch) shape can't ride the mesh."""
+        mesh = getattr(self, "_shard_mesh", None)
+        if mesh is None or ct.c0.ndim != 2 or key.max_nl is not None:
+            return None
+        from ..parallel.ksprod import build_sharded_ks, make_sharded_galois
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ctx = self.ctx
+        nl = ct.nl
+        nshard = mesh.shape["limb"]
+        if (nl + ctx.k_sp) % nshard != 0:
+            return None
+        if nl not in self._shard_plans:
+            self._shard_plans[nl] = build_sharded_ks(ctx, nl, nshard)
+        plan = self._shard_plans[nl]
+        fkey = (t, nl)
+        if fkey not in self._shard_fns:
+            gp = ctx.galois_perm_factored(t)
+            self._shard_fns[fkey] = make_sharded_galois(mesh, plan, gp)
+        import jax
+        pad = jnp.zeros((ctx.k_sp, ctx.cfg.n), jnp.uint32)
+        sh = NamedSharding(mesh, P("limb", None))
+        ksh = NamedSharding(mesh, P(None, "limb", None))
+        idx = np.asarray(ctx.limb_idx(nl, specials=True))
+        c0e = jax.device_put(jnp.concatenate([ct.c0, pad]), sh)
+        c1e = jax.device_put(jnp.concatenate([ct.c1, pad]), sh)
+        kb = jax.device_put(key.b[:, idx, :], ksh)
+        ka = jax.device_put(key.a[:, idx, :], ksh)
+        o0, o1 = self._shard_fns[fkey](c0e, c1e, kb, ka)
+        return ct.with_data(o0[:nl], o1[:nl])
+
     def _galois(self, ct: Ciphertext, t: int, key: KSKey) -> Ciphertext:
         ctx = self.ctx
         nl = ct.nl
         _COUNTS.count("rotation", _nct(ct))
         _COUNTS.count("keyswitch", _nct(ct))
+        if getattr(self, "_shard_mesh", None) is not None:
+            out = self._galois_sharded(ct, t, key)
+            if out is not None:
+                return out
         gp = ctx.galois_perm_factored(t)
         ks = ctx.ks_tables(nl)
         kb, ka = self._sliced_key(key, nl)
@@ -682,8 +835,10 @@ def _ks_decompose(cx_coeff, ks, cx_eval=None):
     return jnp.stack(outs)
 
 
-def _ks_apply(y_e, ksk_b, ksk_a, ks):
-    """Inner products with the key digits + mod-down."""
+def _ks_inner_ext(y_e, ksk_b, ksk_a, ks):
+    """Inner products with the key digits over the EXTENDED (Q*P) basis
+    — the mod-down is the caller's (deferred in the double-hoisted combo,
+    immediate in _ks_apply)."""
     nbatch = y_e.ndim - 3
     nd = y_e.shape[0]                          # active digits <= key digits
     kb = ksk_b[:nd].reshape((nd,) + (1,) * nbatch + ksk_b.shape[1:])
@@ -695,7 +850,59 @@ def _ks_apply(y_e, ksk_b, ksk_a, ks):
     for j in range(1, t0.shape[0]):
         acc0 = ma.addmod(acc0, t0[j], ks.q_tgt)
         acc1 = ma.addmod(acc1, t1[j], ks.q_tgt)
+    return acc0, acc1
+
+
+def _ks_apply(y_e, ksk_b, ksk_a, ks):
+    """Inner products with the key digits + mod-down."""
+    acc0, acc1 = _ks_inner_ext(y_e, ksk_b, ksk_a, ks)
     return _mod_down(acc0, ks), _mod_down(acc1, ks)
+
+
+def _pt_q_slice(pt: Plaintext, nl: int) -> Plaintext:
+    """First-nl-rows view of an extended-basis plaintext (its active-Q
+    encoding — basis order is actives then specials)."""
+    sh = None if pt.shoup is None else pt.shoup[..., :nl, :]
+    return Plaintext(pt.data[..., :nl, :], sh, nl, pt.scale)
+
+
+@jax.jit
+def _hoisted_combo_core(c0, y_e, gammas, bitss, rowmaps, kbs, kas, pts, ks):
+    """sum_j pt_j * rotate_j(ct) with a shared decomposition y_e and ONE
+    deferred mod-down (double hoisting / lazy key switching): per rotation
+    only a factored permutation + extended-basis inner products run — the
+    expensive NTTs (decompose, mod-down) happen once per call, not once
+    per rotation.  Scanned over the rotation axis so compiled size stays
+    flat in the rotation count.
+
+    pts: (R, nl + k_sp, N) eval-domain diagonals over the extended basis
+    (encode(..., specials=True)); kbs/kas: (R, ndig, nl + k_sp, N)."""
+    nl = ks.nl
+    n = c0.shape[-1]
+    zq = jnp.zeros(c0.shape[:-2] + (nl, n), jnp.uint32)
+    ze = jnp.zeros(c0.shape[:-2] + (y_e.shape[-2], n), jnp.uint32)
+
+    def body(carry, xs):
+        a0q, a0e, a1e = carry
+        gamma, bits, rowmap, kb, ka, pt = xs
+        gp = GaloisPerm(gamma, bits, rowmap)
+        c0p = _apply_gperm(c0, gp)
+        yp = _apply_gperm(y_e, gp)
+        t0, t1 = _ks_inner_ext(yp, kb, ka, ks)
+        ptq = pt[..., :nl, :]
+        a0q = ma.addmod(a0q, ma.barrett_mulmod(
+            c0p, ptq, ks.q_act, ks.mu_act, ks.sh_act), ks.q_act)
+        a0e = ma.addmod(a0e, ma.barrett_mulmod(
+            t0, pt, ks.q_tgt, ks.mu_tgt, ks.sh_tgt), ks.q_tgt)
+        a1e = ma.addmod(a1e, ma.barrett_mulmod(
+            t1, pt, ks.q_tgt, ks.mu_tgt, ks.sh_tgt), ks.q_tgt)
+        return (a0q, a0e, a1e), None
+
+    (a0q, a0e, a1e), _ = jax.lax.scan(
+        body, (zq, ze, ze), (gammas, bitss, rowmaps, kbs, kas, pts))
+    k0 = _mod_down(a0e, ks)
+    k1 = _mod_down(a1e, ks)
+    return ma.addmod(a0q, k0, ks.q_act), k1
 
 
 def _ks_inner(cx_coeff, ksk_b, ksk_a, ks, cx_eval=None):

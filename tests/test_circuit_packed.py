@@ -1,0 +1,129 @@
+"""Block-major (matrix-packed) circuit vs the plaintext golden model.
+
+The packed path (models/circuit_packed.py) is the round-3 performance
+circuit; this is its correctness oracle at a tiny parameterization
+(d=8, k_lin=4, slots=128 -> nb=16 tokens per ct), covering:
+  * block-matmul BSGS (wrap diagonals, composed giants, combo kernel)
+  * the packed score/softmax/value-mix pipeline
+  * the packed FFN (containers-as-layout) and pooler/classifier
+  * a multi-chunk sequence (S > nb) exercising the chunk loop
+"""
+
+import numpy as np
+import pytest
+
+from fhe_linformer_tpu.ckks import CKKSConfig, Context, Evaluator, generate_keys
+from fhe_linformer_tpu.linalg.blockmat import BlockOps
+from fhe_linformer_tpu.models import golden
+from fhe_linformer_tpu.models.circuit import CircuitParams
+from fhe_linformer_tpu.models.circuit_packed import PackedLinformer
+
+CFG = CKKSConfig(n=256, scale_bits=26, num_scaling=58, dnum=8, seed=99)
+D, KLIN, FFN, NCLS = 8, 4, 32, 5
+BS = 4
+
+
+def _rotations():
+    pow2 = []
+    s = 1
+    while s < CFG.slots:
+        pow2 += [s, -s]
+        s *= 2
+    babies = [j for j in range(1, BS) if j & (j - 1)]
+    return tuple(pow2 + babies)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = Context(CFG)
+    keys = generate_keys(ctx, rotations=_rotations())
+    ev = Evaluator(ctx, keys)
+    w = golden.random_weights(d=D, k_lin=KLIN, d_ffn=FFN, n_classes=NCLS,
+                              max_seq=40, seed=5, scale=0.35)
+    return ev, w
+
+
+def test_block_matmul(setup):
+    ev, w = setup
+    bops = BlockOps(ev, D, bs=BS)
+    rng = np.random.default_rng(0)
+    X = rng.normal(0, 0.5, (bops.nb, D))
+    W = rng.normal(0, 0.4, (D, D))
+    b = rng.normal(0, 0.2, D)
+    ct = ev.encrypt(bops.pack(X))
+    out = bops.matmul(ct, W, "t", bias=b)
+    got = bops.unpack(np.real(ev.decrypt(out)), bops.nb)
+    want = X @ W.T + b[None]
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_block_matmul_rect_and_scale(setup):
+    ev, w = setup
+    bops = BlockOps(ev, D, bs=BS)
+    rng = np.random.default_rng(1)
+    X = rng.normal(0, 0.5, (7, D))
+    W = rng.normal(0, 0.4, (5, D))          # rectangular (k_lin-like)
+    ct = ev.encrypt(bops.pack(X))
+    out = bops.matmul(ct, W, "r", w_scale=0.5)
+    got = bops.unpack(np.real(ev.decrypt(out)), 7)[:, :5]
+    np.testing.assert_allclose(got, 0.5 * (X @ W.T), atol=2e-2)
+
+
+def test_rows_to_repeated(setup):
+    ev, w = setup
+    bops = BlockOps(ev, D, bs=BS)
+    rng = np.random.default_rng(2)
+    X = rng.normal(0, 0.5, (KLIN, D))
+    ct = ev.encrypt(bops.pack(X))
+    rep = bops.rows_to_repeated(ct, KLIN)
+    got = np.real(ev.decrypt(rep))
+    for u in range(KLIN):
+        np.testing.assert_allclose(
+            got[u].reshape(bops.nb, D), np.tile(X[u], (bops.nb, 1)),
+            atol=2e-2)
+
+
+def _calibrated_params(w, emb):
+    _, inter = golden.forward(w, emb, return_intermediates=True)
+    rowsum = inter["exp"].sum(-1)
+    x1 = inter["norm1"]
+    h_in = x1 @ w.W1.T + w.B1[None]
+    p_in = inter["norm2"][:1] @ w.Wp.T + w.bp[None]
+    return CircuitParams(
+        inv_range=(0.8 * rowsum.min(), 1.25 * rowsum.max()),
+        inv_degree=27,
+        gelu_clip=1.0 / (1.15 * np.abs(h_in).max()),
+        gelu_degree=27,
+        tanh_scale=1.0 / (1.15 * np.abs(p_in).max()),
+        tanh_degree=27,
+    )
+
+
+def test_packed_forward_matches_golden(setup):
+    ev, w = setup
+    rng = np.random.default_rng(11)
+    emb = rng.normal(0, 0.3, (5, D))
+    params = _calibrated_params(w, emb)
+    circ = PackedLinformer(ev, w, params, bs=BS)
+    out = circ.forward(emb)
+    logits = circ.decrypt_logits(out)
+    probs, inter = golden.forward(w, emb, return_intermediates=True)
+    want = inter["logits"]
+    assert np.argmax(logits) == np.argmax(want), (logits, want)
+    np.testing.assert_allclose(logits, want, atol=0.05, rtol=0.05)
+
+
+def test_packed_forward_multichunk(setup):
+    """S > nb tokens: the chunk loop in attention + block-major batching."""
+    ev, w = setup
+    rng = np.random.default_rng(13)
+    S = 20                                   # nb = 16 at d=8/slots=128
+    emb = rng.normal(0, 0.3, (S - 1, D))
+    params = _calibrated_params(w, emb)
+    circ = PackedLinformer(ev, w, params, bs=BS)
+    out = circ.forward(emb)
+    logits = circ.decrypt_logits(out)
+    probs, inter = golden.forward(w, emb, return_intermediates=True)
+    want = inter["logits"]
+    assert np.argmax(logits) == np.argmax(want), (logits, want)
+    np.testing.assert_allclose(logits, want, atol=0.06, rtol=0.06)

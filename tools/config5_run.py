@@ -1,0 +1,130 @@
+"""Config-5 (multi-layer bootstrapped Linformer) first real run — on the
+TPU at the production ring.
+
+VERDICT r2 missing #6: the 2-layer bootstrapped e2e existed only as an
+FHE_RUN_SLOW-gated CPU test; this runs it on device at d=128 with a
+short sequence (S kept small — the capability under test is the
+homomorphic E/F projection + second layer, not sequence scale, which
+bench_layer S=700 covers).  Layer >= 2 exercises `ef_project`: the
+sequence compression that the reference computes client-side in plaintext
+(dimReduce.py:148-156) must run HOMOMORPHICALLY for inner layers — a
+capability the reference does not have at all (it is single-layer).
+
+Writes config5_run.json: per-layer seconds, total, decrypt check vs the
+2-layer golden forward.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(S=32):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fhe_tpu_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from fhe_linformer_tpu.config import get
+    from fhe_linformer_tpu.ckks import Context, Evaluator, generate_keys
+    from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
+    from fhe_linformer_tpu.models import golden
+    from fhe_linformer_tpu.models.circuit import (CircuitParams,
+                                                  EncryptedLinformer)
+    from fhe_linformer_tpu.utils.timing import GLOBAL_TIMERS
+
+    preset = get("multi-layer")
+    t0 = time.time()
+    ctx = Context(preset.ckks)
+    print(f"context {time.time()-t0:.1f}s", flush=True)
+    rots = set()
+    s = 1
+    while s < preset.ckks.slots:
+        rots |= {s, -s}
+        s *= 2
+    bootcfg = BootConfig()
+    rots |= set(Bootstrapper.rotations_for(preset.ckks.n, bootcfg))
+    t0 = time.time()
+    keys = generate_keys(ctx, rotations=tuple(sorted(rots)), conj=True)
+    print(f"keys {time.time()-t0:.1f}s ({len(rots)} rotations)", flush=True)
+    ev = Evaluator(ctx, keys)
+    ev.prefetch_host_sk()
+    t0 = time.time()
+    booter = Bootstrapper(ev, bootcfg)
+    print(f"bootstrapper {time.time()-t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(0)
+    w1 = golden.random_weights(d=128, k_lin=32, d_ffn=512, n_classes=20,
+                               max_seq=S + 4, seed=3, scale=0.3)
+    w2 = golden.random_weights(d=128, k_lin=32, d_ffn=512, n_classes=20,
+                               max_seq=S + 4, seed=7, scale=0.3)
+    emb = rng.normal(0, 0.3, (S - 1, 128))
+    # calibrate on the 2-layer golden
+    probs, inter = golden.forward(w1, emb, return_intermediates=True,
+                                  extra_layers=[w2])
+    rowsum = inter["exp"].sum(-1)
+    x1 = inter["norm1"]
+    params = CircuitParams(
+        inv_range=(0.3 * rowsum.min(), 2.0 * rowsum.max()),
+        inv_degree=119, gelu_degree=119, tanh_degree=247,
+        gelu_clip=1.0 / (1.5 * np.abs(x1 @ w1.W1.T + w1.B1[None]).max()),
+        tanh_scale=1.0 / (1.5 * np.abs(
+            inter["norm2"][:1] @ w1.Wp.T + w1.bp[None]).max()),
+        exp_pow8=False)
+    circ = EncryptedLinformer(ev, w1, params)
+
+    results = {"S": S, "layers": 2, "preset": "multi-layer"}
+    t0 = time.time()
+    out = circ.forward(emb, boot=booter, extra_layers=[w2], input_nl=12)
+    out.c0.block_until_ready()
+    results["forward_first_s"] = round(time.time() - t0, 1)
+    results["keyswitches"] = GLOBAL_TIMERS.counts["keyswitch"]
+    results["bootstraps"] = GLOBAL_TIMERS.counts["bootstrap"]
+    print(f"2-layer forward (first): {results['forward_first_s']}s, "
+          f"{results['keyswitches']} ks, {results['bootstraps']} boots",
+          flush=True)
+    with open(os.path.join(REPO, "config5_run.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+    # decrypt check (host path, keys released first — ROADMAP hazards)
+    try:
+        import gc
+        ev._enc_cache.clear()
+        circ._pt_cache.clear()
+        getattr(booter, "_fold_cache", {}).clear()
+        ev.release_device_keys()
+        del keys
+        gc.collect()
+        vals = None
+        for attempt in range(4):
+            try:
+                vals = np.real(ev.decrypt_host(out))
+                break
+            except Exception as e:
+                print(f"decrypt attempt {attempt}: {e!r}", flush=True)
+                time.sleep(5)
+        if vals is None:
+            raise RuntimeError("decrypt_host failed after retries")
+        logits = vals[: w1.Wc.shape[0] * circ.ops.d: circ.ops.d]
+        want = inter["logits"]
+        err = float(np.max(np.abs(logits - want)))
+        results["logits_max_err"] = round(err, 5)
+        results["argmax_matches_golden"] = \
+            bool(np.argmax(logits) == np.argmax(want)) and np.isfinite(err)
+        print(f"decrypt check: argmax match="
+              f"{results['argmax_matches_golden']}, max|err|={err:.4g}",
+              flush=True)
+    except Exception as e:
+        print(f"decrypt check failed: {e!r}", flush=True)
+        results["decrypt_check_error"] = repr(e)
+    with open(os.path.join(REPO, "config5_run.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main(S=int(sys.argv[1]) if len(sys.argv) > 1 else 32)
