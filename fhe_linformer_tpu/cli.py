@@ -38,6 +38,9 @@ def _preset_rotations(p, ctx) -> tuple:
     while s < ctx.cfg.slots:
         rots |= {s, -s}
         s *= 2
+    # BSGS baby shifts for the block-major packed circuit (bs=16; the
+    # giants compose from the pow2 set via rotate_any)
+    rots |= {j for j in range(1, 16) if j & (j - 1)}
     if p.bootstrap:
         from .boot.bootstrap import Bootstrapper
         rots |= set(Bootstrapper.rotations_for(ctx.cfg.n))
@@ -102,11 +105,26 @@ def cmd_infer(args):
         w = golden.random_weights(d=p.d, k_lin=p.k_lin, d_ffn=p.d_ffn,
                                   n_classes=p.n_classes, max_seq=p.max_seq)
     emb = load_sample_embeddings(args.sample_dir)
-    circ = EncryptedLinformer(ev, w, p.circuit)
     booter = None
     if p.bootstrap:
         from .boot.bootstrap import Bootstrapper
         booter = Bootstrapper(ev)
+    if args.packed:
+        # block-major matrix-packed path (round-3 performance circuit);
+        # keys must include the BSGS baby shifts (cmd_keygen generates
+        # them for every preset)
+        from .models.circuit_packed import PackedLinformer
+        pc = PackedLinformer(ev, w, p.circuit, d=p.d)
+        t0 = time.time()
+        out = pc.forward(emb, boot=booter,
+                         input_nl=8 if p.bootstrap else None)
+        logits = pc.decrypt_logits(out)
+        cls, p_ = softmax_argmax(logits)
+        print(json.dumps({"pred": cls, "prob": float(p_[cls]),
+                          "latency_s": round(time.time() - t0, 3),
+                          "packed": True, "logits": logits.tolist()}))
+        return
+    circ = EncryptedLinformer(ev, w, p.circuit)
     n_layers = args.layers or p.layers
     extra = [golden.random_weights(d=p.d, k_lin=p.k_lin, d_ffn=p.d_ffn,
                                    n_classes=p.n_classes, max_seq=p.max_seq,
@@ -211,6 +229,9 @@ def main(argv=None):
     inf.add_argument("--weights-dir", default=None)
     inf.add_argument("--sample-dir", required=True)
     inf.add_argument("--cls-only", action="store_true")
+    inf.add_argument("--packed", action="store_true",
+                     help="block-major matrix-packed circuit (one ct per "
+                          "128 tokens; the round-3 performance path)")
     inf.add_argument("--layers", type=int, default=None,
                      help="total encoder layers (default: preset's; layers "
                           ">= 2 run K/V compression homomorphically — "

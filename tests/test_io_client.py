@@ -49,6 +49,27 @@ def test_keystore_roundtrip(ev, tmp_path):
                                np.roll(z, -1), atol=1e-3)
 
 
+def test_keystore_reduced_basis_roundtrip(tmp_path):
+    """KSKey.max_nl keys (reduced-basis circuit rotations) survive the
+    seed-compressed store and rotate correctly after reload."""
+    cfg = CKKSConfig(n=256, scale_bits=26, num_scaling=6, dnum=2, seed=56)
+    ctx = Context(cfg)
+    keys = generate_keys(ctx, rotations=(1,), rotations_reduced=(2,),
+                         reduced_max_nl=4)
+    d = str(tmp_path / "keys")
+    ser.save_keys(d, keys, include_secret=True)
+    back = ser.load_keys(d, ctx=ctx)
+    assert back.rot[2].max_nl == 4
+    np.testing.assert_array_equal(np.asarray(back.rot[2].a),
+                                  np.asarray(keys.rot[2].a))
+    ev2 = Evaluator(ctx, back)
+    z = np.linspace(-0.5, 0.5, cfg.slots)
+    ct = ev2.drop_to(ev2.encrypt(z), 4)
+    out = ev2.rotate(ct, 2)
+    np.testing.assert_allclose(np.real(ev2.decrypt(out)),
+                               np.roll(z, -2), atol=2e-3)
+
+
 def test_keystore_compression_halves_ks_keys(ev, tmp_path):
     import os
     dc = str(tmp_path / "kc")
