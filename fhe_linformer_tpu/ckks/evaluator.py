@@ -32,6 +32,18 @@ from .encoding import Encoder
 from .keys import KeySet, KSKey, rns_residues
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class CoeffPlaintext:
+    """Compressed plaintext: scaled integer coefficients, int32 (N,).
+    Expanded to eval-domain rows on device inside the rotation-combo
+    kernel (see Evaluator.encode_coeff_cached)."""
+    coeff: jnp.ndarray
+    scale: float
+
+
 def _nct(ct: Ciphertext) -> int:
     """Ciphertext count of a batched ct — the unit the reference's per-ct
     loops (and its timing prints) count in."""
@@ -96,6 +108,29 @@ class Evaluator:
         if k not in self._enc_cache:
             self._enc_cache[k] = self.encode(values, nl=nl, scale=scale,
                                              specials=specials)
+        return self._enc_cache[k]
+
+    def encode_coeff_cached(self, key, values, scale: float | None = None):
+        """Level-independent COMPRESSED plaintext: the scaled integer
+        coefficient vector as int32, (N,) — 128 KB at n=2^15 instead of
+        the ~`(nl+k) x N` eval-domain rows (~3-5 MB *per level*).  The
+        rotation-combo kernel RNS-spreads + NTTs it on device per use
+        (~30 limb NTTs, ~0.07 ms at measured NTT rates).  This is what
+        makes caching ~2d diagonals per weight matrix affordable: the
+        block-major circuit caches ~3k diagonals across its 12 matrices
+        (~400 MB as coeffs; ~10 GB as per-level eval rows — an instant
+        OOM).  Returns None when coefficients exceed int32 (e.g. the
+        double-rescale boot scale ~2^52) — callers fall back to dense
+        extended-basis plaintexts."""
+        k = (key, float(scale) if scale is not None else None, "coeff")
+        if k not in self._enc_cache:
+            sc = self.ctx.delta if scale is None else scale
+            coeffs = self.encoder.encode(np.asarray(values), sc)
+            if np.abs(coeffs).max() >= float(1 << 31):
+                self._enc_cache[k] = None
+            else:
+                self._enc_cache[k] = CoeffPlaintext(
+                    jnp.asarray(coeffs.astype(np.int32)), sc)
         return self._enc_cache[k]
 
     # ------------------------------------------------------------------
@@ -593,6 +628,7 @@ class Evaluator:
         rot_items = [(r, p) for r, p in items if r % slots != 0]
         id_items = [(r, p) for r, p in items if r % slots == 0]
         scale = items[0][1].scale
+        coeff_mode = isinstance(items[0][1], CoeffPlaintext)
         out = None
         if rot_items:
             _COUNTS.count("combo_rot", len(rot_items) * _nct(ct))
@@ -608,16 +644,23 @@ class Evaluator:
                 kbs.append(kb)
                 kas.append(ka)
                 assert abs(p.scale / scale - 1.0) < 1e-12
-                pts.append(p.data)
+                pts.append(p.coeff if coeff_mode else p.data)
             gammas = jnp.stack([g.gamma for g in gps])
             bitss = jnp.stack([g.bits for g in gps])
             rowmaps = jnp.stack([g.rowmap for g in gps])
-            c0, c1 = _hoisted_combo_core(
-                ct.c0, y_e, gammas, bitss, rowmaps,
-                jnp.stack(kbs), jnp.stack(kas), jnp.stack(pts), ks)
+            core = _hoisted_combo_coeff_core if coeff_mode else \
+                _hoisted_combo_core
+            c0, c1 = core(ct.c0, y_e, gammas, bitss, rowmaps,
+                          jnp.stack(kbs), jnp.stack(kas),
+                          jnp.stack(pts), ks)
             out = Ciphertext(c0, c1, nl, ct.scale * scale)
         for r, p in id_items:
-            t = self.mul_plain(ct, _pt_q_slice(p, nl), rescale=False)
+            if coeff_mode:
+                data = _pt_expand_q(p.coeff, ks)
+                pq = Plaintext(data, None, nl, p.scale)
+            else:
+                pq = _pt_q_slice(p, nl)
+            t = self.mul_plain(ct, pq, rescale=False)
             out = t if out is None else self.add(out, t)
         return out
 
@@ -864,6 +907,58 @@ def _pt_q_slice(pt: Plaintext, nl: int) -> Plaintext:
     encoding — basis order is actives then specials)."""
     sh = None if pt.shoup is None else pt.shoup[..., :nl, :]
     return Plaintext(pt.data[..., :nl, :], sh, nl, pt.scale)
+
+
+def _spread_ext(cf, ks):
+    """(..., N) int32 coeffs -> (..., tgt, N) u32 residues over the
+    extended basis (sign-correct remainder)."""
+    qi = ks.q_tgt.astype(jnp.int32)
+    return (cf[..., None, :] % qi).astype(jnp.uint32)
+
+
+@jax.jit
+def _pt_expand_q(cf, ks):
+    """Coeff plaintext -> eval rows over the ACTIVE Q basis only."""
+    qi = ks.q_act.astype(jnp.int32)
+    res = (cf[..., None, :] % qi).astype(jnp.uint32)
+    return _ntt_fwd(res, ks.t_act)
+
+
+@jax.jit
+def _hoisted_combo_coeff_core(c0, y_e, gammas, bitss, rowmaps, kbs, kas,
+                              coeffs, ks):
+    """_hoisted_combo_core with COMPRESSED plaintexts: each scan step
+    RNS-spreads + NTTs its (N,) int32 coefficient vector into extended-
+    basis rows on the fly (~tgt limb NTTs, trivial vs the inner products)
+    — the memory shape that lets thousands of matmul diagonals stay
+    cached on device (see Evaluator.encode_coeff_cached)."""
+    nl = ks.nl
+    n = c0.shape[-1]
+    zq = jnp.zeros(c0.shape[:-2] + (nl, n), jnp.uint32)
+    ze = jnp.zeros(c0.shape[:-2] + (y_e.shape[-2], n), jnp.uint32)
+
+    def body(carry, xs):
+        a0q, a0e, a1e = carry
+        gamma, bits, rowmap, kb, ka, cf = xs
+        pt = _ntt_fwd(_spread_ext(cf, ks), ks.t_tgt)
+        gp = GaloisPerm(gamma, bits, rowmap)
+        c0p = _apply_gperm(c0, gp)
+        yp = _apply_gperm(y_e, gp)
+        t0, t1 = _ks_inner_ext(yp, kb, ka, ks)
+        ptq = pt[..., :nl, :]
+        a0q = ma.addmod(a0q, ma.barrett_mulmod(
+            c0p, ptq, ks.q_act, ks.mu_act, ks.sh_act), ks.q_act)
+        a0e = ma.addmod(a0e, ma.barrett_mulmod(
+            t0, pt, ks.q_tgt, ks.mu_tgt, ks.sh_tgt), ks.q_tgt)
+        a1e = ma.addmod(a1e, ma.barrett_mulmod(
+            t1, pt, ks.q_tgt, ks.mu_tgt, ks.sh_tgt), ks.q_tgt)
+        return (a0q, a0e, a1e), None
+
+    (a0q, a0e, a1e), _ = jax.lax.scan(
+        body, (zq, ze, ze), (gammas, bitss, rowmaps, kbs, kas, coeffs))
+    k0 = _mod_down(a0e, ks)
+    k1 = _mod_down(a1e, ks)
+    return ma.addmod(a0q, k0, ks.q_act), k1
 
 
 @jax.jit
