@@ -37,10 +37,14 @@ from dataclasses import dataclass
 
 @dataclass
 class CoeffPlaintext:
-    """Compressed plaintext: scaled integer coefficients, int32 (N,).
+    """Compressed plaintext: scaled integer coefficients as two 32-bit
+    planes, v = hi * 2^32 + lo (hi signed, lo unsigned) — covers the full
+    int64 encode range incl. the bootstrap's double-rescale scale ~2^52.
     Expanded to eval-domain rows on device inside the rotation-combo
-    kernel (see Evaluator.encode_coeff_cached)."""
-    coeff: jnp.ndarray
+    kernel (see Evaluator.encode_coeff_cached): 256 KB per diagonal at
+    n=2^15 vs ~(nl+k) x N x 4 B of per-level eval rows."""
+    lo: jnp.ndarray      # (N,) uint32
+    hi: jnp.ndarray      # (N,) int32
     scale: float
 
 
@@ -118,19 +122,17 @@ class Evaluator:
         (~30 limb NTTs, ~0.07 ms at measured NTT rates).  This is what
         makes caching ~2d diagonals per weight matrix affordable: the
         block-major circuit caches ~3k diagonals across its 12 matrices
-        (~400 MB as coeffs; ~10 GB as per-level eval rows — an instant
-        OOM).  Returns None when coefficients exceed int32 (e.g. the
-        double-rescale boot scale ~2^52) — callers fall back to dense
-        extended-basis plaintexts."""
+        (~800 MB as coeff planes; ~10 GB as per-level eval rows — an
+        instant OOM), and the bootstrap's ~270 transform diagonals shrink
+        from ~1.7 GB of extended rows to ~70 MB."""
         k = (key, float(scale) if scale is not None else None, "coeff")
         if k not in self._enc_cache:
             sc = self.ctx.delta if scale is None else scale
             coeffs = self.encoder.encode(np.asarray(values), sc)
-            if np.abs(coeffs).max() >= float(1 << 31):
-                self._enc_cache[k] = None
-            else:
-                self._enc_cache[k] = CoeffPlaintext(
-                    jnp.asarray(coeffs.astype(np.int32)), sc)
+            lo = (coeffs & 0xFFFFFFFF).astype(np.uint32)
+            hi = (coeffs >> 32).astype(np.int32)
+            self._enc_cache[k] = CoeffPlaintext(
+                jnp.asarray(lo), jnp.asarray(hi), sc)
         return self._enc_cache[k]
 
     # ------------------------------------------------------------------
@@ -644,19 +646,25 @@ class Evaluator:
                 kbs.append(kb)
                 kas.append(ka)
                 assert abs(p.scale / scale - 1.0) < 1e-12
-                pts.append(p.coeff if coeff_mode else p.data)
+                pts.append(p)
             gammas = jnp.stack([g.gamma for g in gps])
             bitss = jnp.stack([g.bits for g in gps])
             rowmaps = jnp.stack([g.rowmap for g in gps])
-            core = _hoisted_combo_coeff_core if coeff_mode else \
-                _hoisted_combo_core
-            c0, c1 = core(ct.c0, y_e, gammas, bitss, rowmaps,
-                          jnp.stack(kbs), jnp.stack(kas),
-                          jnp.stack(pts), ks)
+            if coeff_mode:
+                c0, c1 = _hoisted_combo_coeff_core(
+                    ct.c0, y_e, gammas, bitss, rowmaps,
+                    jnp.stack(kbs), jnp.stack(kas),
+                    jnp.stack([p.lo for p in pts]),
+                    jnp.stack([p.hi for p in pts]), ks)
+            else:
+                c0, c1 = _hoisted_combo_core(
+                    ct.c0, y_e, gammas, bitss, rowmaps,
+                    jnp.stack(kbs), jnp.stack(kas),
+                    jnp.stack([p.data for p in pts]), ks)
             out = Ciphertext(c0, c1, nl, ct.scale * scale)
         for r, p in id_items:
             if coeff_mode:
-                data = _pt_expand_q(p.coeff, ks)
+                data = _pt_expand_q(p.lo, p.hi, ks)
                 pq = Plaintext(data, None, nl, p.scale)
             else:
                 pq = _pt_q_slice(p, nl)
@@ -909,24 +917,33 @@ def _pt_q_slice(pt: Plaintext, nl: int) -> Plaintext:
     return Plaintext(pt.data[..., :nl, :], sh, nl, pt.scale)
 
 
-def _spread_ext(cf, ks):
-    """(..., N) int32 coeffs -> (..., tgt, N) u32 residues over the
-    extended basis (sign-correct remainder)."""
-    qi = ks.q_tgt.astype(jnp.int32)
-    return (cf[..., None, :] % qi).astype(jnp.uint32)
+def _spread2(lo, hi, q, mu, sh):
+    """Two-plane int64 coeffs (v = hi*2^32 + lo) -> (..., L, N) u32
+    residues: r = ((hi mod q) * (2^32 mod q) + lo mod q) mod q, with
+    2^32 mod q = (2^16 mod q)^2 mod q computed via Barrett on the fly."""
+    qi = q.astype(jnp.int32)
+    hi_r = (hi[..., None, :] % qi).astype(jnp.uint32)
+    lo_r = (lo[..., None, :] % q).astype(jnp.uint32)
+    p16 = (jnp.uint32(1) << 16) % q
+    p32 = ma.barrett_mulmod(p16, p16, q, mu, sh)
+    return ma.addmod(ma.barrett_mulmod(hi_r, p32, q, mu, sh), lo_r, q)
+
+
+def _spread_ext(lo, hi, ks):
+    """Coeff planes -> residues over the extended basis."""
+    return _spread2(lo, hi, ks.q_tgt, ks.mu_tgt, ks.sh_tgt)
 
 
 @jax.jit
-def _pt_expand_q(cf, ks):
+def _pt_expand_q(lo, hi, ks):
     """Coeff plaintext -> eval rows over the ACTIVE Q basis only."""
-    qi = ks.q_act.astype(jnp.int32)
-    res = (cf[..., None, :] % qi).astype(jnp.uint32)
+    res = _spread2(lo, hi, ks.q_act, ks.mu_act, ks.sh_act)
     return _ntt_fwd(res, ks.t_act)
 
 
 @jax.jit
 def _hoisted_combo_coeff_core(c0, y_e, gammas, bitss, rowmaps, kbs, kas,
-                              coeffs, ks):
+                              los, his, ks):
     """_hoisted_combo_core with COMPRESSED plaintexts: each scan step
     RNS-spreads + NTTs its (N,) int32 coefficient vector into extended-
     basis rows on the fly (~tgt limb NTTs, trivial vs the inner products)
@@ -939,8 +956,8 @@ def _hoisted_combo_coeff_core(c0, y_e, gammas, bitss, rowmaps, kbs, kas,
 
     def body(carry, xs):
         a0q, a0e, a1e = carry
-        gamma, bits, rowmap, kb, ka, cf = xs
-        pt = _ntt_fwd(_spread_ext(cf, ks), ks.t_tgt)
+        gamma, bits, rowmap, kb, ka, lo, hi = xs
+        pt = _ntt_fwd(_spread_ext(lo, hi, ks), ks.t_tgt)
         gp = GaloisPerm(gamma, bits, rowmap)
         c0p = _apply_gperm(c0, gp)
         yp = _apply_gperm(y_e, gp)
@@ -955,7 +972,7 @@ def _hoisted_combo_coeff_core(c0, y_e, gammas, bitss, rowmaps, kbs, kas,
         return (a0q, a0e, a1e), None
 
     (a0q, a0e, a1e), _ = jax.lax.scan(
-        body, (zq, ze, ze), (gammas, bitss, rowmaps, kbs, kas, coeffs))
+        body, (zq, ze, ze), (gammas, bitss, rowmaps, kbs, kas, los, his))
     k0 = _mod_down(a0e, ks)
     k1 = _mod_down(a1e, ks)
     return ma.addmod(a0q, k0, ks.q_act), k1

@@ -287,27 +287,15 @@ class PackedOps:
             acc = None
             for g, js in sorted(by_giant.items()):
                 items = []
-                coeff_ok = True
                 for j, d in sorted(js.items()):
                     dk = np.roll(np.asarray(d), g * bs * stride)
-                    # compressed (level-independent) plaintext first: one
-                    # int32 coeff vector per diagonal instead of per-level
-                    # eval rows — the cache-size lever that makes ~3k
-                    # cached matmul diagonals fit in HBM
+                    # compressed level-independent plaintexts: one pair of
+                    # 32-bit coefficient planes per diagonal instead of
+                    # per-level eval rows — the cache-size lever that fits
+                    # ~3k matmul + ~270 bootstrap diagonals in HBM
                     cp = ev.encode_coeff_cached((id(diags), g, j), dk,
                                                 scale=scale)
-                    if cp is None:      # coeffs exceed int32 (boot scale)
-                        coeff_ok = False
-                        break
                     items.append((j * stride, cp))
-                if not coeff_ok:
-                    items = []
-                    for j, d in sorted(js.items()):
-                        dk = np.roll(np.asarray(d), g * bs * stride)
-                        key = (id(diags), g, j, "ext")
-                        pt = ev.encode_cached(key, dk, nl=ct.nl,
-                                              scale=scale, specials=True)
-                        items.append((j * stride, pt))
                 inner = ev.combo_from_decomp(ct, y_e, items, ks)
                 rot = ev.rotate_any(inner, g * bs * stride) if g else inner
                 acc = rot if acc is None else ev.add(acc, rot)
