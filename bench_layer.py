@@ -106,7 +106,10 @@ def main_packed(S=128, boot=True):
     circ = PackedLinformer(ev, w, params, bs=bs)
 
     t0 = time.time()
-    input_nl = 8 if boot else None
+    # pre-exp chain depth: matmul(1) + K_rep mask(1) + scores mul(1) +
+    # scale mask(1) + deg-6 Taylor PS(3) + combine(1) + floor(2) = ~10;
+    # 12 leaves margin (round-3 lesson: 8 ran out inside the Taylor)
+    input_nl = 12 if boot else None
     x_ct, xe, xf, S_total = circ.encrypt_inputs(emb, nl=input_nl)
     x_ct.c0.block_until_ready()
     print(f"encrypt_inputs {time.time()-t0:.1f}s S_total={S_total} "

@@ -52,6 +52,11 @@ class Gadgets:
         (cpp:1293-1295 — refresh between the Taylor and the power-raise
         when the remaining levels can't cover the downstream chain)."""
         ev = self.ev
+        if boot is not None and ct.nl < 6:
+            # defensive pre-Taylor refresh: the deg-6 PS needs ~4 levels
+            # plus the rescale floor; the reference instead encrypts with
+            # enough input level (read_*_input level args)
+            ct = boot.bootstrap(ct)
         t = self.poly.eval_poly(ct, EXP_TAYLOR_DEG6)
         if boot is not None and t.nl - 1 < boot_below:
             t = boot.bootstrap(t)

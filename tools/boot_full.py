@@ -69,7 +69,7 @@ def main(batch: int = 4):
 
     def hbm(tag):
         try:
-            st = jax.local_devices()[0].memory_stats()
+            st = jax.local_devices()[0].memory_stats() or {}
             print(f"HBM[{tag}]: in_use={st.get('bytes_in_use', 0)/2**30:.2f}"
                   f" GiB, limit={st.get('bytes_limit', 0)/2**30:.2f} GiB",
                   flush=True)
