@@ -620,6 +620,69 @@ class Evaluator:
         y_e = _hoist_decompose_core(ct.c1, ks)
         return self.combo_from_decomp(ct, y_e, items, ks)
 
+    def baby_key_stack(self, shifts, nl: int):
+        """Stacked (kb, ka) baby-rotation keys for `shifts` at level nl,
+        cached with size-1 eviction: one BSGS transform's ~8 giant groups
+        reuse one stack, and the next transform evicts it — re-stacking
+        per giant-group call queued multi-hundred-MB transients faster
+        than the device freed them (round-3 OOM lesson)."""
+        key = (tuple(shifts), nl)
+        cache = getattr(self, "_baby_stack", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        slots = self.ctx.cfg.slots
+        hk = self._require_keys("rotate_combo")
+        kbs, kas = [], []
+        for r in shifts:
+            rr = r % slots
+            k = hk.rot.get(rr) or hk.rot.get(rr - slots)
+            assert k is not None, f"no rotation key for shift {r}"
+            kb, ka = self._sliced_key(k, nl)
+            kbs.append(kb)
+            kas.append(ka)
+        val = (jnp.stack(kbs), jnp.stack(kas))
+        self._baby_stack = (key, val)
+        return val
+
+    def combo_from_decomp_indexed(self, ct: Ciphertext, y_e, items,
+                                  kstack, shifts, ks) -> Ciphertext:
+        """combo_from_decomp against a shared stacked key tensor:
+        items are (shift, CoeffPlaintext); each body step gathers its key
+        rows from `kstack` by index — zero per-call key copies."""
+        ctx = self.ctx
+        nl = ct.nl
+        slots = ctx.cfg.slots
+        pos = {r: i for i, r in enumerate(shifts)}
+        rot_items = [(r, p) for r, p in items if r % slots != 0]
+        id_items = [(r, p) for r, p in items if r % slots == 0]
+        scale = items[0][1].scale
+        out = None
+        if rot_items:
+            _COUNTS.count("combo_rot", len(rot_items) * _nct(ct))
+            _COUNTS.count("keyswitch", _nct(ct))
+            gps, idxs, los, his = [], [], [], []
+            for r, p in rot_items:
+                rr = r % slots
+                gps.append(ctx.galois_perm_factored(ctx.galois_t(rr)))
+                idxs.append(pos[r])
+                assert abs(p.scale / scale - 1.0) < 1e-12
+                los.append(p.lo)
+                his.append(p.hi)
+            c0, c1 = _hoisted_combo_idx_core(
+                ct.c0, y_e,
+                jnp.stack([g.gamma for g in gps]),
+                jnp.stack([g.bits for g in gps]),
+                jnp.stack([g.rowmap for g in gps]),
+                jnp.asarray(idxs, jnp.int32), kstack[0], kstack[1],
+                jnp.stack(los), jnp.stack(his), ks)
+            out = Ciphertext(c0, c1, nl, ct.scale * scale)
+        for r, p in id_items:
+            data = _pt_expand_q(p.lo, p.hi, ks)
+            t = self.mul_plain(ct, Plaintext(data, None, nl, p.scale),
+                               rescale=False)
+            out = t if out is None else self.add(out, t)
+        return out
+
     def combo_from_decomp(self, ct: Ciphertext, y_e, items,
                           ks) -> Ciphertext:
         """rotate_combo with a caller-held decomposition (shared across
@@ -973,6 +1036,43 @@ def _hoisted_combo_coeff_core(c0, y_e, gammas, bitss, rowmaps, kbs, kas,
 
     (a0q, a0e, a1e), _ = jax.lax.scan(
         body, (zq, ze, ze), (gammas, bitss, rowmaps, kbs, kas, los, his))
+    k0 = _mod_down(a0e, ks)
+    k1 = _mod_down(a1e, ks)
+    return ma.addmod(a0q, k0, ks.q_act), k1
+
+
+@jax.jit
+def _hoisted_combo_idx_core(c0, y_e, gammas, bitss, rowmaps, idxs,
+                            kstack_b, kstack_a, los, his, ks):
+    """_hoisted_combo_coeff_core with keys GATHERED from a shared stack
+    (kstack_*: (B, ndig, tgt, N)) by per-rotation index — the scan reads
+    key rows in place instead of staging a per-call stacked copy."""
+    nl = ks.nl
+    n = c0.shape[-1]
+    zq = jnp.zeros(c0.shape[:-2] + (nl, n), jnp.uint32)
+    ze = jnp.zeros(c0.shape[:-2] + (y_e.shape[-2], n), jnp.uint32)
+
+    def body(carry, xs):
+        a0q, a0e, a1e = carry
+        gamma, bits, rowmap, idx, lo, hi = xs
+        kb = jax.lax.dynamic_index_in_dim(kstack_b, idx, 0, False)
+        ka = jax.lax.dynamic_index_in_dim(kstack_a, idx, 0, False)
+        pt = _ntt_fwd(_spread_ext(lo, hi, ks), ks.t_tgt)
+        gp = GaloisPerm(gamma, bits, rowmap)
+        c0p = _apply_gperm(c0, gp)
+        yp = _apply_gperm(y_e, gp)
+        t0, t1 = _ks_inner_ext(yp, kb, ka, ks)
+        ptq = pt[..., :nl, :]
+        a0q = ma.addmod(a0q, ma.barrett_mulmod(
+            c0p, ptq, ks.q_act, ks.mu_act, ks.sh_act), ks.q_act)
+        a0e = ma.addmod(a0e, ma.barrett_mulmod(
+            t0, pt, ks.q_tgt, ks.mu_tgt, ks.sh_tgt), ks.q_tgt)
+        a1e = ma.addmod(a1e, ma.barrett_mulmod(
+            t1, pt, ks.q_tgt, ks.mu_tgt, ks.sh_tgt), ks.q_tgt)
+        return (a0q, a0e, a1e), None
+
+    (a0q, a0e, a1e), _ = jax.lax.scan(
+        body, (zq, ze, ze), (gammas, bitss, rowmaps, idxs, los, his))
     k0 = _mod_down(a0e, ks)
     k1 = _mod_down(a1e, ks)
     return ma.addmod(a0q, k0, ks.q_act), k1

@@ -284,6 +284,14 @@ class PackedOps:
             from ..ckks.evaluator import _hoist_decompose_core
             ks = ev.ctx.ks_tables(ct.nl)
             y_e = _hoist_decompose_core(ct.c1, ks)
+            # one shared baby-key stack for the whole transform (size-1
+            # cached): per-group key stacking queued multi-hundred-MB
+            # transients faster than the device freed them
+            baby_shifts = sorted({j * stride
+                                  for js in by_giant.values() for j in js
+                                  if j})
+            kstack = ev.baby_key_stack(baby_shifts, ct.nl) \
+                if baby_shifts else None
             acc = None
             for g, js in sorted(by_giant.items()):
                 items = []
@@ -296,7 +304,8 @@ class PackedOps:
                     cp = ev.encode_coeff_cached((id(diags), g, j), dk,
                                                 scale=scale)
                     items.append((j * stride, cp))
-                inner = ev.combo_from_decomp(ct, y_e, items, ks)
+                inner = ev.combo_from_decomp_indexed(
+                    ct, y_e, items, kstack, baby_shifts, ks)
                 rot = ev.rotate_any(inner, g * bs * stride) if g else inner
                 acc = rot if acc is None else ev.add(acc, rot)
         else:

@@ -196,6 +196,11 @@ class PackedLinformer:
         c0 = x_ct
         if c0.c0.ndim > 2:
             c0 = c0.with_data(c0.c0[0], c0.c1[0])
+        if boot is not None and c0.nl < 5:
+            # entry refresh: the extract/pool/tanh/classify chain needs
+            # ~16 levels (the reference's unconditional pooler bootstrap,
+            # main_2.cpp:390); affine2's output typically arrives at 2
+            c0 = boot.bootstrap(c0)
         pt_b0 = ev.encode_cached(("mask_block0", d), ops.mask_block(0),
                                  nl=c0.nl)
         cls_rep = ops.repeat(ev.mul_plain(c0, pt_b0), nb, d)  # cls tiled

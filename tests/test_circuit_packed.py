@@ -138,3 +138,39 @@ def test_packed_forward_multichunk(setup):
     want = inter["logits"]
     assert np.argmax(logits) == np.argmax(want), (logits, want)
     np.testing.assert_allclose(logits, want, atol=0.06, rtol=0.06)
+
+
+@forward_mark
+def test_packed_forward_bootstrapped(setup):
+    """The packed circuit's bootstrap hooks (mid-exp / pre-GELU / pooler
+    entry) at a tiny boot config — the placement that the production
+    bench (bench_layer.py --packed --boot) runs at scale."""
+    from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
+    cfg = CKKSConfig(n=256, scale_bits=26, num_scaling=34, dnum=4, seed=23,
+                     secret_hw=8)
+    bootc = BootConfig(level_budget=(2, 2), K=8, sin_degree=59,
+                       double_angles=1)
+    ctx = Context(cfg)
+    rots = set(Bootstrapper.rotations_for(cfg.n, bootc))
+    s = 1
+    while s < cfg.slots:
+        rots |= {s, -s}
+        s *= 2
+    rots |= {j for j in range(1, BS) if j & (j - 1)}
+    keys = generate_keys(ctx, rotations=tuple(sorted(rots)), conj=True)
+    ev = Evaluator(ctx, keys)
+    booter = Bootstrapper(ev, bootc)
+    w = golden.random_weights(d=D, k_lin=KLIN, d_ffn=FFN, n_classes=NCLS,
+                              max_seq=12, seed=5, scale=0.35)
+    rng = np.random.default_rng(17)
+    emb = rng.normal(0, 0.3, (5, D))
+    params = _calibrated_params(w, emb)
+    params.inv_degree = params.gelu_degree = params.tanh_degree = 13
+    circ = PackedLinformer(ev, w, params, bs=BS)
+    out = circ.forward(emb, boot=booter, input_nl=12)
+    logits = circ.decrypt_logits(out)
+    probs, inter = golden.forward(w, emb, return_intermediates=True)
+    want = inter["logits"]
+    assert np.all(np.isfinite(logits)), logits
+    assert np.argmax(logits) == np.argmax(want), (logits, want)
+    np.testing.assert_allclose(logits, want, atol=0.2)
