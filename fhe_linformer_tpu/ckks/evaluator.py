@@ -35,6 +35,28 @@ from .keys import KeySet, KSKey, rns_residues
 from dataclasses import dataclass
 
 
+import functools
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass, meta_fields=("idx",),
+    data_fields=("arr",))
+@dataclass(frozen=True)
+class LazyRows:
+    """A key half as the FULL stored array + a static row subset;
+    kernels slice at trace time (_mat_rows).  Eagerly materialized
+    per-level key slices were another silent multi-GB resident set
+    (~45 MB x levels x 46 keys at the production basis)."""
+    arr: jnp.ndarray           # (ndig, rows_full, N)
+    idx: tuple                 # static row subset
+
+
+def _mat_rows(x):
+    if isinstance(x, LazyRows):
+        return x.arr[:, np.asarray(x.idx), :]
+    return x
+
+
 @dataclass
 class CoeffPlaintext:
     """Compressed plaintext: scaled integer coefficients as two 32-bit
@@ -465,20 +487,25 @@ class Evaluator:
         return self._chunked(ct, f)
 
     def _sliced_key(self, key: KSKey, nl: int):
+        """(kb, ka) rows for level nl, LRU-cached per key (2 levels max):
+        an unbounded per-level cache held ~40 MB x levels x keys of
+        resident slices — with the EvalMod chain touching ~15 levels,
+        another silent multi-GB consumer (round-3 HBM audit)."""
         cache = getattr(key, "_slices", None)
         if cache is None:
             cache = {}
             object.__setattr__(key, "_slices", cache)
         if nl not in cache:
             if key.max_nl is None:
-                idx = np.asarray(self.ctx.limb_idx(nl, specials=True))
+                idx = self.ctx.limb_idx(nl, specials=True)
             else:
                 # reduced-basis key: rows are [0, max_nl) + specials
                 assert nl <= key.max_nl, \
                     f"level {nl} exceeds reduced key basis {key.max_nl}"
-                idx = np.asarray(list(range(nl)) + list(
+                idx = tuple(list(range(nl)) + list(
                     range(key.max_nl, key.max_nl + self.ctx.k_sp)))
-            cache[nl] = (key.b[:, idx, :], key.a[:, idx, :])
+            cache[nl] = (LazyRows(key.b, tuple(idx)),
+                         LazyRows(key.a, tuple(idx)))
         return cache[nl]
 
     def mul(self, a: Ciphertext, b: Ciphertext, rescale: bool = True) -> Ciphertext:
@@ -638,8 +665,8 @@ class Evaluator:
             k = hk.rot.get(rr) or hk.rot.get(rr - slots)
             assert k is not None, f"no rotation key for shift {r}"
             kb, ka = self._sliced_key(k, nl)
-            kbs.append(kb)
-            kas.append(ka)
+            kbs.append(_mat_rows(kb))
+            kas.append(_mat_rows(ka))
         val = (jnp.stack(kbs), jnp.stack(kas))
         self._baby_stack = (key, val)
         return val
@@ -706,8 +733,8 @@ class Evaluator:
                 assert key is not None, f"no rotation key for shift {r}"
                 kb, ka = self._sliced_key(key, nl)
                 gps.append(ctx.galois_perm_factored(ctx.galois_t(rr)))
-                kbs.append(kb)
-                kas.append(ka)
+                kbs.append(_mat_rows(kb))
+                kas.append(_mat_rows(ka))
                 assert abs(p.scale / scale - 1.0) < 1e-12
                 pts.append(p)
             gammas = jnp.stack([g.gamma for g in gps])
@@ -953,6 +980,8 @@ def _ks_inner_ext(y_e, ksk_b, ksk_a, ks):
     """Inner products with the key digits over the EXTENDED (Q*P) basis
     — the mod-down is the caller's (deferred in the double-hoisted combo,
     immediate in _ks_apply)."""
+    ksk_b = _mat_rows(ksk_b)
+    ksk_a = _mat_rows(ksk_a)
     nbatch = y_e.ndim - 3
     nd = y_e.shape[0]                          # active digits <= key digits
     kb = ksk_b[:nd].reshape((nd,) + (1,) * nbatch + ksk_b.shape[1:])

@@ -131,13 +131,20 @@ def _x_digits(x, axis: int):
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    meta_fields=("n", "n1", "n2", "qs_key"),
+    meta_fields=("n", "n1", "n2", "qs_key", "rows"),
     data_fields=("q", "w2f", "w1f", "tf", "tf_s",
                  "w1i", "ti", "ti_s", "w2i", "comb_c", "comb_s",
                  "w2f8", "w1f8", "w1i8", "w2i8"))
 @dataclass(frozen=True)
 class LimbTables:
-    """All per-basis NTT constants, stacked over a list of primes (axis 0)."""
+    """All per-basis NTT constants, stacked over a list of primes (axis 0).
+
+    With `rows` set, the data arrays are the FULL-basis tables (shared
+    device buffers) and `rows` names the limb subset — kernels slice at
+    trace time (`rows_of`), so a level's table 'slice' costs zero resident
+    HBM.  Eagerly materialized per-level slices measured 4.6 GiB per level
+    at the production basis (60 limbs x ~18 MiB/limb x act+tgt+comp sets)
+    — the round-3 bootstrap OOM."""
     n: int
     n1: int
     n2: int
@@ -157,6 +164,7 @@ class LimbTables:
     w1f8: jnp.ndarray           # (XDIG8, L, n1, XDIG8*n1) int8
     w1i8: jnp.ndarray           # (XDIG8, L, n1, XDIG8*n1) int8
     w2i8: jnp.ndarray           # (XDIG8, L, XDIG8*n2, n2) int8
+    rows: tuple | None = None   # static limb subset (lazy slice)
 
 
 def _build_tables(n: int, qs: tuple[int, ...]) -> LimbTables:
@@ -205,17 +213,25 @@ def _build_tables(n: int, qs: tuple[int, ...]) -> LimbTables:
     qs_np = np.asarray(qs, np.int64)
     qcol = qs_np.reshape(L, 1, 1)
     shoup = lambda w, qq: jnp.asarray(ma.shoup_precompute(w, qq))
+    # Pallas-only builds elide the bf16/f32 digit-plane tables (15 of the
+    # ~18 MiB/limb — ~0.9 GiB at the production basis): the int8 Pallas
+    # kernels never read them, and _fwd/_inv assert if the XLA fallback is
+    # ever reached with elided tables (FHE_NTT_PALLAS=0 forces full).
+    import os
+    elide = (n1 == 128 and jax.default_backend() == "tpu"
+             and os.environ.get("FHE_NTT_PALLAS", "1") != "0")
+    zf = jnp.zeros((WDIG, L, 1, 1), _digit_dtype())
     return LimbTables(
         n=n, n1=n1, n2=n2, qs_key=tuple(int(q) for q in qs),
         q=jnp.asarray(qcol.astype(np.uint32)),
-        w2f=_expand_w(w2f, qs_np, 1),
-        w1f=_expand_w(w1f, qs_np, 2),
+        w2f=zf if elide else _expand_w(w2f, qs_np, 1),
+        w1f=zf if elide else _expand_w(w1f, qs_np, 2),
         tf=jnp.asarray(tf.astype(np.uint32)),
         tf_s=shoup(tf, qcol),
-        w1i=_expand_w(w1i, qs_np, 2),
+        w1i=zf if elide else _expand_w(w1i, qs_np, 2),
         ti=jnp.asarray(ti.astype(np.uint32)),
         ti_s=shoup(ti, qcol),
-        w2i=_expand_w(w2i, qs_np, 1),
+        w2i=zf if elide else _expand_w(w2i, qs_np, 1),
         comb_c=jnp.asarray(combs.reshape(WDIG, L, 1, 1).astype(np.uint32)),
         comb_s=shoup(combs.reshape(WDIG, L, 1, 1), qs_np.reshape(1, L, 1, 1)),
         w2f8=_expand_w_i8(w2f, qs_np, 1),
@@ -259,11 +275,34 @@ def _use_pallas(t: LimbTables) -> bool:
             and os.environ.get("FHE_NTT_PALLAS", "1") != "0")
 
 
+def rows_of(t: LimbTables) -> LimbTables:
+    """Materialize a lazy row subset — inside jit this is a gather of
+    constants XLA fuses/CSEs per compiled kernel; outside jit it behaves
+    like the old eager slice."""
+    if t.rows is None:
+        return t
+    idx = np.asarray(t.rows)
+    return LimbTables(
+        n=t.n, n1=t.n1, n2=t.n2, qs_key=t.qs_key, rows=None,
+        q=t.q[idx],
+        w2f=t.w2f[:, idx], w1f=t.w1f[:, idx], tf=t.tf[idx],
+        tf_s=t.tf_s[idx], w1i=t.w1i[:, idx], ti=t.ti[idx],
+        ti_s=t.ti_s[idx], w2i=t.w2i[:, idx],
+        comb_c=t.comb_c[:, idx], comb_s=t.comb_s[:, idx],
+        w2f8=t.w2f8[:, idx], w1f8=t.w1f8[:, idx],
+        w1i8=t.w1i8[:, idx], w2i8=t.w2i8[:, idx],
+    )
+
+
 @jax.jit
 def _fwd(x, t: LimbTables):
+    t = rows_of(t)
     if _use_pallas(t):
         from . import ntt_pallas
         return ntt_pallas.fwd(x, t)
+    assert t.w2f.shape[-1] == t.n2, \
+        "bf16 NTT tables were elided (Pallas-only build); " \
+        "set FHE_NTT_PALLAS=0 BEFORE table construction"
     y = x.reshape(*x.shape[:-1], t.n2, t.n1)
     y = jnp.swapaxes(y, -1, -2)                       # [j1][j2]
     b = _mod_matmul(y, t.w2f, t, "right")
@@ -274,9 +313,13 @@ def _fwd(x, t: LimbTables):
 
 @jax.jit
 def _inv(X, t: LimbTables):
+    t = rows_of(t)
     if _use_pallas(t):
         from . import ntt_pallas
         return ntt_pallas.inv(X, t)
+    assert t.w2i.shape[-1] == t.n2, \
+        "bf16 NTT tables were elided (Pallas-only build); " \
+        "set FHE_NTT_PALLAS=0 BEFORE table construction"
     m = X.reshape(*X.shape[:-1], t.n1, t.n2)          # [k1][k2]
     d = _mod_matmul(m, t.w1i, t, "left")
     e = ma.shoup_mulmod(d, t.ti, t.ti_s, t.q)
@@ -294,24 +337,35 @@ class NttContext:
         self.full = _build_tables(n, self.qs)
         self._slices: dict[tuple[int, ...], LimbTables] = {}
 
-    def tables(self, limbs: tuple[int, ...] | None = None) -> LimbTables:
+    def tables(self, limbs: tuple[int, ...] | None = None,
+               dense: bool = False) -> LimbTables:
+        """Limb-subset tables.  LAZY by default: the returned pytree
+        shares the full-basis buffers and records the subset in `rows`
+        (kernels slice at trace time via rows_of).  dense=True
+        materializes eagerly — only for consumers that index table fields
+        directly (the shard_map plans)."""
         if limbs is None or tuple(limbs) == tuple(range(len(self.qs))):
             return self.full
         key = tuple(limbs)
-        if key not in self._slices:
+        if not dense:
             t = self.full
-            idx = np.asarray(key)
-            self._slices[key] = LimbTables(
+            return LimbTables(
                 n=t.n, n1=t.n1, n2=t.n2,
-                qs_key=tuple(self.qs[i] for i in key),
-                q=t.q[idx],
-                w2f=t.w2f[:, idx], w1f=t.w1f[:, idx], tf=t.tf[idx],
-                tf_s=t.tf_s[idx], w1i=t.w1i[:, idx], ti=t.ti[idx],
-                ti_s=t.ti_s[idx], w2i=t.w2i[:, idx],
-                comb_c=t.comb_c[:, idx], comb_s=t.comb_s[:, idx],
-                w2f8=t.w2f8[:, idx], w1f8=t.w1f8[:, idx],
-                w1i8=t.w1i8[:, idx], w2i8=t.w2i8[:, idx],
-            )
+                qs_key=tuple(self.qs[i] for i in key), rows=key,
+                q=t.q, w2f=t.w2f, w1f=t.w1f, tf=t.tf, tf_s=t.tf_s,
+                w1i=t.w1i, ti=t.ti, ti_s=t.ti_s, w2i=t.w2i,
+                comb_c=t.comb_c, comb_s=t.comb_s,
+                w2f8=t.w2f8, w1f8=t.w1f8, w1i8=t.w1i8, w2i8=t.w2i8)
+        if key not in self._slices:
+            self._slices[key] = rows_of(LimbTables(
+                n=self.full.n, n1=self.full.n1, n2=self.full.n2,
+                qs_key=tuple(self.qs[i] for i in key), rows=key,
+                q=self.full.q, w2f=self.full.w2f, w1f=self.full.w1f,
+                tf=self.full.tf, tf_s=self.full.tf_s, w1i=self.full.w1i,
+                ti=self.full.ti, ti_s=self.full.ti_s, w2i=self.full.w2i,
+                comb_c=self.full.comb_c, comb_s=self.full.comb_s,
+                w2f8=self.full.w2f8, w1f8=self.full.w1f8,
+                w1i8=self.full.w1i8, w2i8=self.full.w2i8))
         return self._slices[key]
 
     def fwd(self, x, limbs: tuple[int, ...] | None = None):

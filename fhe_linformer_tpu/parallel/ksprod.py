@@ -154,7 +154,7 @@ def build_sharded_ks(ctx, nl: int, nshard: int) -> ShardedKSPlan:
     u = lambda a: jnp.asarray(np.asarray(a).astype(np.uint32))
     return ShardedKSPlan(
         nl=nl, k_sp=ctx.k_sp, nd=nd, per=T // nshard, n=ctx.cfg.n,
-        tables=ctx.ntt.tables(tgt_idx),
+        tables=ctx.ntt.tables(tgt_idx, dense=True),
         gq_full=u(gq),
         mu_full=u(np.asarray(mus, np.int64).reshape(-1, 1)),
         sh_full=u(np.asarray(shs, np.int64).reshape(-1, 1)),

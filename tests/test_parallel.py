@@ -25,5 +25,6 @@ def test_dryrun_multichip_8():
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert "sharded PRODUCTION keyswitch parity OK" in r.stdout
+    assert "PRODUCTION ring 2^15 OK" in r.stdout      # via Evaluator.rotate
     assert "full-circuit dp forward OK" in r.stdout
     assert "dryrun_multichip OK" in r.stdout
