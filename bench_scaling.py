@@ -99,6 +99,22 @@ hloP = fnP.lower(jax.device_put(c0e, ls), jax.device_put(c0e, ls),
                  jax.device_put(keysP.rot[3].a, ksh)).compile().as_text()
 report["production_sharded_keyswitch_limb4"] = inventory(hloP)
 
+# --- 1c. the SAME pipeline at the production ring 2^15 (24 active + 8
+# special limbs) — the program the dryrun executes bit-exactly; its HLO is
+# the real collective inventory behind the multi-chip predictions -------
+cfgR = CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=23, dnum=3, seed=2)
+ctxR = Context(cfgR)
+keysR = generate_keys(ctxR, rotations=(3,))
+planR = build_sharded_ks(ctxR, ctxR.num_q, 4)
+gpR = ctxR.galois_perm_factored(ctxR.galois_t(3))
+fnR = make_sharded_galois(mesh, planR, gpR)
+TR = ctxR.num_q + ctxR.k_sp
+c0R = jnp.zeros((TR, 1 << 15), jnp.uint32)
+hloR = fnR.lower(jax.device_put(c0R, ls), jax.device_put(c0R, ls),
+                 jax.device_put(keysR.rot[3].b, ksh),
+                 jax.device_put(keysR.rot[3].a, ksh)).compile().as_text()
+report["production_ring_2e15_sharded_keyswitch_limb4"] = inventory(hloR)
+
 # --- 2. dp-sharded batched Galois core: expect NO collectives -----------
 from fhe_linformer_tpu.ckks.evaluator import _galois_core
 cfg = CKKSConfig(n=256, scale_bits=26, num_scaling=10, dnum=2, seed=1)
@@ -248,6 +264,39 @@ def main():
     if "boot_layer_S128" in report:
         report["v5e16_boot_layer_pred_s"] = \
             report["boot_layer_S128"]["chips_16_layer_s_pred"]
+
+    # --- round-3 PACKED layer (block-major): one ct per 128 tokens, so a
+    # single-sample forward scales via LIMB sharding of every key switch
+    # (the 1c inventory: two plane-psum pairs per switch riding ICI) plus
+    # sample-dp for serving throughput.  Efficiency model: compute/Nlimb +
+    # psum bytes/ICI; Amdahl over the host-sequenced stage structure.
+    for S in (128, 700):
+        blp = os.path.join(REPO, f"bench_layer_S{S}_packed_boot.json")
+        if not os.path.exists(blp):
+            continue
+        bl = json.load(open(blp))
+        if "layer_total_warm_s" not in bl:
+            continue
+        inv = coll.get("production_ring_2e15_sharded_keyswitch_limb4", {})
+        psum_b = sum(v["bytes"] for v in inv.values())
+        nks = bl.get("layer_keyswitches", 0) + \
+            0.6 * bl.get("layer_combo_rots", 0)
+        sc = {"layer_s_1chip_measured": bl["layer_total_warm_s"],
+              "keyswitches": bl.get("layer_keyswitches"),
+              "combo_rots": bl.get("layer_combo_rots"),
+              "bootstraps": bl.get("layer_bootstraps"),
+              "collectives_per_ks": inv}
+        for N in (4, 8, 16):
+            nlimb = min(N, 8)
+            comm = nks * psum_b / ICI_GBPS
+            layer_n = bl["layer_total_warm_s"] / nlimb + comm
+            sc[f"chips_{N}_layer_s_pred"] = round(layer_n, 3)
+            sc[f"chips_{N}_efficiency"] = round(
+                bl["layer_total_warm_s"] / (N * layer_n), 3)
+        report[f"packed_boot_layer_S{S}"] = sc
+    if "packed_boot_layer_S128" in report:
+        report["v5e16_packed_layer_pred_s"] = \
+            report["packed_boot_layer_S128"]["chips_16_layer_s_pred"]
 
     with open(os.path.join(REPO, "bench_scaling.json"), "w") as f:
         json.dump(report, f, indent=1)
