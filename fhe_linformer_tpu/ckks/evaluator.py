@@ -671,14 +671,32 @@ class Evaluator:
         self._baby_stack = (key, val)
         return val
 
-    def combo_from_decomp_indexed(self, ct: Ciphertext, y_e, items,
-                                  kstack, shifts, ks) -> Ciphertext:
-        """combo_from_decomp against a shared stacked key tensor:
-        items are (shift, CoeffPlaintext); each body step gathers its key
-        rows from `kstack` by index — zero per-call key copies."""
+    def combo_stage1(self, ct: Ciphertext, y_e, shifts, ks):
+        """Per-BABY hoisted work shared by every giant group of a BSGS
+        transform: for each baby shift, the Galois permutation of (c0,
+        y_e) and the extended-basis key inner products — O(babies), not
+        O(babies x giants) (the per-pair version recomputed these 270x
+        per bootstrap: the round-3 10x slowdown).  Returns stacked
+        (c0p, t0, t1) with a row per shift."""
         ctx = self.ctx
-        nl = ct.nl
         slots = ctx.cfg.slots
+        nl = ct.nl
+        kstack = self.baby_key_stack(shifts, nl)
+        gps = [ctx.galois_perm_factored(ctx.galois_t(r % slots))
+               for r in shifts]
+        return _combo_stage1_core(
+            ct.c0, y_e,
+            jnp.stack([g.gamma for g in gps]),
+            jnp.stack([g.bits for g in gps]),
+            jnp.stack([g.rowmap for g in gps]),
+            kstack[0], kstack[1], ks)
+
+    def combo_stage2(self, ct: Ciphertext, stage1, items, shifts,
+                     ks) -> Ciphertext:
+        """One giant group's accumulation over stage-1 rows: pt-weighted
+        sums + a single lazy mod-down.  items: (shift, CoeffPlaintext)."""
+        nl = ct.nl
+        slots = self.ctx.cfg.slots
         pos = {r: i for i, r in enumerate(shifts)}
         rot_items = [(r, p) for r, p in items if r % slots != 0]
         id_items = [(r, p) for r, p in items if r % slots == 0]
@@ -687,21 +705,14 @@ class Evaluator:
         if rot_items:
             _COUNTS.count("combo_rot", len(rot_items) * _nct(ct))
             _COUNTS.count("keyswitch", _nct(ct))
-            gps, idxs, los, his = [], [], [], []
+            idxs = [pos[r] for r, _ in rot_items]
             for r, p in rot_items:
-                rr = r % slots
-                gps.append(ctx.galois_perm_factored(ctx.galois_t(rr)))
-                idxs.append(pos[r])
                 assert abs(p.scale / scale - 1.0) < 1e-12
-                los.append(p.lo)
-                his.append(p.hi)
-            c0, c1 = _hoisted_combo_idx_core(
-                ct.c0, y_e,
-                jnp.stack([g.gamma for g in gps]),
-                jnp.stack([g.bits for g in gps]),
-                jnp.stack([g.rowmap for g in gps]),
-                jnp.asarray(idxs, jnp.int32), kstack[0], kstack[1],
-                jnp.stack(los), jnp.stack(his), ks)
+            c0, c1 = _combo_stage2_core(
+                stage1[0], stage1[1], stage1[2],
+                jnp.asarray(idxs, jnp.int32),
+                jnp.stack([p.lo for _, p in rot_items]),
+                jnp.stack([p.hi for _, p in rot_items]), ks)
             out = Ciphertext(c0, c1, nl, ct.scale * scale)
         for r, p in id_items:
             data = _pt_expand_q(p.lo, p.hi, ks)
@@ -1071,26 +1082,39 @@ def _hoisted_combo_coeff_core(c0, y_e, gammas, bitss, rowmaps, kbs, kas,
 
 
 @jax.jit
-def _hoisted_combo_idx_core(c0, y_e, gammas, bitss, rowmaps, idxs,
-                            kstack_b, kstack_a, los, his, ks):
-    """_hoisted_combo_coeff_core with keys GATHERED from a shared stack
-    (kstack_*: (B, ndig, tgt, N)) by per-rotation index — the scan reads
-    key rows in place instead of staging a per-call stacked copy."""
-    nl = ks.nl
-    n = c0.shape[-1]
-    zq = jnp.zeros(c0.shape[:-2] + (nl, n), jnp.uint32)
-    ze = jnp.zeros(c0.shape[:-2] + (y_e.shape[-2], n), jnp.uint32)
-
-    def body(carry, xs):
-        a0q, a0e, a1e = carry
-        gamma, bits, rowmap, idx, lo, hi = xs
-        kb = jax.lax.dynamic_index_in_dim(kstack_b, idx, 0, False)
-        ka = jax.lax.dynamic_index_in_dim(kstack_a, idx, 0, False)
-        pt = _ntt_fwd(_spread_ext(lo, hi, ks), ks.t_tgt)
+def _combo_stage1_core(c0, y_e, gammas, bitss, rowmaps, kstack_b,
+                       kstack_a, ks):
+    """Scan over baby shifts: permute (c0, y_e), inner-product with the
+    key digits over the extended basis.  Returns (c0p, t0, t1) stacked
+    with a leading baby axis."""
+    def body(_, xs):
+        gamma, bits, rowmap, kb, ka = xs
         gp = GaloisPerm(gamma, bits, rowmap)
         c0p = _apply_gperm(c0, gp)
         yp = _apply_gperm(y_e, gp)
         t0, t1 = _ks_inner_ext(yp, kb, ka, ks)
+        return None, (c0p, t0, t1)
+
+    _, (c0ps, t0s, t1s) = jax.lax.scan(
+        body, None, (gammas, bitss, rowmaps, kstack_b, kstack_a))
+    return c0ps, t0s, t1s
+
+
+@jax.jit
+def _combo_stage2_core(c0ps, t0s, t1s, idxs, los, his, ks):
+    """pt-weighted accumulation of stage-1 rows + ONE lazy mod-down."""
+    nl = ks.nl
+    n = c0ps.shape[-1]
+    zq = jnp.zeros(c0ps.shape[1:-2] + (nl, n), jnp.uint32)
+    ze = jnp.zeros(t0s.shape[1:-2] + (t0s.shape[-2], n), jnp.uint32)
+
+    def body(carry, xs):
+        a0q, a0e, a1e = carry
+        idx, lo, hi = xs
+        pt = _ntt_fwd(_spread_ext(lo, hi, ks), ks.t_tgt)
+        c0p = jax.lax.dynamic_index_in_dim(c0ps, idx, 0, False)
+        t0 = jax.lax.dynamic_index_in_dim(t0s, idx, 0, False)
+        t1 = jax.lax.dynamic_index_in_dim(t1s, idx, 0, False)
         ptq = pt[..., :nl, :]
         a0q = ma.addmod(a0q, ma.barrett_mulmod(
             c0p, ptq, ks.q_act, ks.mu_act, ks.sh_act), ks.q_act)
@@ -1100,8 +1124,7 @@ def _hoisted_combo_idx_core(c0, y_e, gammas, bitss, rowmaps, idxs,
             t1, pt, ks.q_tgt, ks.mu_tgt, ks.sh_tgt), ks.q_tgt)
         return (a0q, a0e, a1e), None
 
-    (a0q, a0e, a1e), _ = jax.lax.scan(
-        body, (zq, ze, ze), (gammas, bitss, rowmaps, idxs, los, his))
+    (a0q, a0e, a1e), _ = jax.lax.scan(body, (zq, ze, ze), (idxs, los, his))
     k0 = _mod_down(a0e, ks)
     k1 = _mod_down(a1e, ks)
     return ma.addmod(a0q, k0, ks.q_act), k1

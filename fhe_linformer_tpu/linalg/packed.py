@@ -284,13 +284,13 @@ class PackedOps:
             from ..ckks.evaluator import _hoist_decompose_core
             ks = ev.ctx.ks_tables(ct.nl)
             y_e = _hoist_decompose_core(ct.c1, ks)
-            # one shared baby-key stack for the whole transform (size-1
-            # cached): per-group key stacking queued multi-hundred-MB
-            # transients faster than the device freed them
+            # stage 1 ONCE per transform: per-baby permutations + key
+            # inner products, shared by every giant group (recomputing
+            # them per (giant, baby) pair was a 10x bootstrap slowdown)
             baby_shifts = sorted({j * stride
                                   for js in by_giant.values() for j in js
                                   if j})
-            kstack = ev.baby_key_stack(baby_shifts, ct.nl) \
+            stage1 = ev.combo_stage1(ct, y_e, baby_shifts, ks) \
                 if baby_shifts else None
             acc = None
             for g, js in sorted(by_giant.items()):
@@ -304,8 +304,7 @@ class PackedOps:
                     cp = ev.encode_coeff_cached((id(diags), g, j), dk,
                                                 scale=scale)
                     items.append((j * stride, cp))
-                inner = ev.combo_from_decomp_indexed(
-                    ct, y_e, items, kstack, baby_shifts, ks)
+                inner = ev.combo_stage2(ct, stage1, items, baby_shifts, ks)
                 rot = ev.rotate_any(inner, g * bs * stride) if g else inner
                 acc = rot if acc is None else ev.add(acc, rot)
         else:
