@@ -100,6 +100,27 @@ def main(batch: int = 4):
     })
     _persist(results)            # timing is safe even if the decrypt OOMs
 
+    # 2-iteration precision variant (reference FHEController.cpp:459-469)
+    # — opt-in: doubles the boot work and adds compiles
+    if os.environ.get("FHE_BOOT2"):
+        o2 = booter.bootstrap2(low)
+        o2.c0.block_until_ready()
+        t0 = time.time()
+        o2 = booter.bootstrap2(low)
+        o2.c0.block_until_ready()
+        results["bootstrap2_warm_s"] = round(time.time() - t0, 3)
+        try:
+            got2 = np.real(ev.decrypt_host(o2))
+            results["bootstrap2_precision_bits"] = round(
+                min(approx_error_log2(m[i], got2[i])
+                    for i in range(batch)), 2)
+            print(f"bootstrap2: warm {results['bootstrap2_warm_s']}s, "
+                  f"precision {results['bootstrap2_precision_bits']} bits",
+                  flush=True)
+        except Exception as e:
+            results["bootstrap2_precision_error"] = repr(e)
+        _persist(results)
+
     # single-ct latency (opt-in: batch-1 shapes recompile the whole
     # pipeline, which costs many minutes of remote compilation)
     if os.environ.get("FHE_BOOT_SINGLE"):
