@@ -53,7 +53,11 @@ class LazyRows:
 
 def _mat_rows(x):
     if isinstance(x, LazyRows):
-        return x.arr[:, np.asarray(x.idx), :]
+        from ..ops.ntt import _runs
+        parts = [jax.lax.slice_in_dim(x.arr, lo, hi, axis=1)
+                 for lo, hi in _runs(tuple(x.idx))]
+        return parts[0] if len(parts) == 1 else \
+            jnp.concatenate(parts, axis=1)
     return x
 
 

@@ -275,22 +275,47 @@ def _use_pallas(t: LimbTables) -> bool:
             and os.environ.get("FHE_NTT_PALLAS", "1") != "0")
 
 
+def _runs(rows):
+    """Decompose a sorted index tuple into contiguous (start, stop)
+    runs.  Every basis subset this framework uses is 1-2 runs (prefix of
+    actives + the specials block), so slicing via runs turns per-kernel
+    table materialization from a slow gather into plain DMA slices."""
+    out = []
+    start = prev = rows[0]
+    for r in rows[1:]:
+        if r == prev + 1:
+            prev = r
+            continue
+        out.append((start, prev + 1))
+        start = prev = r
+    out.append((start, prev + 1))
+    return out
+
+
 def rows_of(t: LimbTables) -> LimbTables:
-    """Materialize a lazy row subset — inside jit this is a gather of
-    constants XLA fuses/CSEs per compiled kernel; outside jit it behaves
-    like the old eager slice."""
+    """Materialize a lazy row subset — inside jit this lowers to 1-2
+    contiguous slices + concat per field (DMA-speed; a fancy-index gather
+    here measured several extra seconds per bootstrap), CSE'd per
+    compiled kernel; outside jit it behaves like the old eager slice."""
     if t.rows is None:
         return t
-    idx = np.asarray(t.rows)
+    runs = _runs(tuple(t.rows))
+
+    def sel(a, axis):
+        parts = [jax.lax.slice_in_dim(a, lo, hi, axis=axis)
+                 for lo, hi in runs]
+        return parts[0] if len(parts) == 1 else \
+            jnp.concatenate(parts, axis=axis)
+
     return LimbTables(
         n=t.n, n1=t.n1, n2=t.n2, qs_key=t.qs_key, rows=None,
-        q=t.q[idx],
-        w2f=t.w2f[:, idx], w1f=t.w1f[:, idx], tf=t.tf[idx],
-        tf_s=t.tf_s[idx], w1i=t.w1i[:, idx], ti=t.ti[idx],
-        ti_s=t.ti_s[idx], w2i=t.w2i[:, idx],
-        comb_c=t.comb_c[:, idx], comb_s=t.comb_s[:, idx],
-        w2f8=t.w2f8[:, idx], w1f8=t.w1f8[:, idx],
-        w1i8=t.w1i8[:, idx], w2i8=t.w2i8[:, idx],
+        q=sel(t.q, 0),
+        w2f=sel(t.w2f, 1), w1f=sel(t.w1f, 1), tf=sel(t.tf, 0),
+        tf_s=sel(t.tf_s, 0), w1i=sel(t.w1i, 1), ti=sel(t.ti, 0),
+        ti_s=sel(t.ti_s, 0), w2i=sel(t.w2i, 1),
+        comb_c=sel(t.comb_c, 1), comb_s=sel(t.comb_s, 1),
+        w2f8=sel(t.w2f8, 1), w1f8=sel(t.w1f8, 1),
+        w1i8=sel(t.w1i8, 1), w2i8=sel(t.w2i8, 1),
     )
 
 
