@@ -16,9 +16,30 @@ import math
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from ..ckks.ciphertext import Ciphertext
 from ..ckks.evaluator import Evaluator
+from ..ops import modarith as ma
 from .cheb import chebyshev_fit, cheb_divmod
+
+
+@jax.jit
+def _combine_core(c0s, c1s, w, ws, q):
+    """Fused linear combination: per-term Shoup constant multiplies +
+    an exact modular tree-reduction over the leading term axis."""
+    t0 = ma.shoup_mulmod(c0s, w, ws, q)
+    t1 = ma.shoup_mulmod(c1s, w, ws, q)
+
+    def red(x):
+        while x.shape[0] > 1:
+            h = x.shape[0] // 2
+            head = ma.addmod(x[:h], x[h: 2 * h], q)
+            x = head if x.shape[0] == 2 * h else \
+                jnp.concatenate([head, x[2 * h:]], 0)
+        return x[0]
+    return red(t0), red(t1)
 
 
 class PolyEvaluator:
@@ -33,19 +54,47 @@ class PolyEvaluator:
                 out_nl: int | None = None,
                 out_scale: float | None = None) -> Ciphertext:
         """sum_i coeff_i * ct_i + const, all terms landed on one exact
-        (nl, scale).  Spends one level (constant multiplies)."""
+        (nl, scale).  Spends one level (constant multiplies).
+
+        Runs as ONE fused kernel over a stacked term axis: the per-term
+        loop (drop + const encode + mul + add = ~4 dispatches each) made
+        a deg-247 Chebyshev evaluation ~1000 small dispatches — tens of
+        seconds of pure launch latency on the tunneled dev chip."""
+        import jax.numpy as jnp
         ev = self.ev
         assert terms, "empty combination"
         nl_c = min(ct.nl for ct, _ in terms) if out_nl is None else out_nl + 1
         out_nl = nl_c - 1
         out_scale = out_scale or ev.ctx.delta
         qd = float(ev.ctx.qs[out_nl])
-        acc = None
+        ctx = ev.ctx
+        limbs = ctx.limb_idx(nl_c)
+        qs_np = np.asarray([ctx.basis[i] for i in limbs], np.int64)
+        c0s, c1s, vals = [], [], []
+        nb = max(ct.c0.ndim - 2 for ct, _ in terms)
         for ct, c in terms:
             ct = ev.drop_to(ct, nl_c)
-            pt = ev.encode_const(c, nl_c, out_scale * qd / ct.scale)
-            t = ev.mul_plain(ct, pt, rescale=False)
-            acc = t if acc is None else ev.add(acc, t)
+            v = int(round(c * (out_scale * qd / ct.scale)))
+            assert abs(v) < 1 << 62
+            b0, b1 = ct.c0, ct.c1
+            while b0.ndim - 2 < nb:       # align batch ranks for stacking
+                b0, b1 = b0[None], b1[None]
+            c0s.append(jnp.broadcast_to(b0, c0s[0].shape) if c0s and
+                       b0.shape != c0s[0].shape else b0)
+            c1s.append(jnp.broadcast_to(b1, c1s[0].shape) if c1s and
+                       b1.shape != c1s[0].shape else b1)
+            vals.append(v)
+        from ..ops import modarith as ma
+        res = (np.asarray(vals, np.int64)[:, None] % qs_np[None]
+               )[:, :, None]                      # (T, nl, 1)
+        w = jnp.asarray(res.astype(np.uint32))
+        ws = jnp.asarray(ma.shoup_precompute(
+            res, np.broadcast_to(qs_np[None, :, None], res.shape)))
+        sh = (len(terms),) + (1,) * nb + (len(limbs), 1)
+        q = ctx.mod_consts(limbs)[0]
+        o0, o1 = _combine_core(jnp.stack(c0s), jnp.stack(c1s),
+                               w.reshape(sh), ws.reshape(sh), q)
+        acc = Ciphertext(o0, o1, nl_c, out_scale * qd)
         acc = ev.rescale(acc)
         acc.scale = out_scale
         if const != 0.0:
