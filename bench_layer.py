@@ -73,6 +73,11 @@ def main_packed(S=128, boot=True):
         s *= 2
     bs = 16
     babies = {j for j in range(1, bs) if j & (j - 1)}
+    # dedicated giant keys (+/-16g): the fused multi-rotate needs single
+    # switches; at reduced basis these 14 keys cost ~0.4 GB vs seconds of
+    # composed-rotation dispatches per matmul
+    babies |= {16 * g for g in range(1, 8)} | \
+        {16 * g - 128 for g in range(1, 8)}
     bootcfg = None
     boot_rots = set()
     if boot:

@@ -598,6 +598,19 @@ class Evaluator:
             out[r] = ct.with_data(c0, c1)
         return out
 
+    def has_rotation_keys(self, shifts) -> bool:
+        """True when every shift has a DEDICATED rotation key (fused
+        multi-rotate eligibility; composed shifts fall back)."""
+        if self.keys is None:
+            return False
+        slots = self.ctx.cfg.slots
+        for r in shifts:
+            rr = r % slots
+            if rr and rr not in self.keys.rot and \
+                    (rr - slots) not in self.keys.rot:
+                return False
+        return True
+
     def rotate_any(self, ct: Ciphertext, r: int) -> Ciphertext:
         """Rotate by r, composing from available keys when no dedicated
         key exists (signed-binary over the +/- power-of-two set).  Lets
@@ -722,6 +735,91 @@ class Evaluator:
             data = _pt_expand_q(p.lo, p.hi, ks)
             t = self.mul_plain(ct, Plaintext(data, None, nl, p.scale),
                                rescale=False)
+            out = t if out is None else self.add(out, t)
+        return out
+
+    def combo_stage2_all(self, ct: Ciphertext, stage1, groups, shifts,
+                         ks):
+        """EVERY giant group's accumulation in one kernel: scan over all
+        (group, baby, pt) pairs carrying per-group accumulators, one
+        batched mod-down — then the caller multi-rotates the (G, ...)
+        output.  groups: list of (giant_shift, [(baby_shift, CoeffPt)]).
+        Identity-baby terms (shift 0) fold in via a virtual stage-1 row.
+        Returns (giant_shifts, Ciphertext with leading G axis)."""
+        nl = ct.nl
+        slots = self.ctx.cfg.slots
+        pos = {r: i for i, r in enumerate(shifts)}
+        c0ps, t0s, t1s = stage1
+        G = len(groups)
+        gidx, bidx, los, his = [], [], [], []
+        scale = None
+        n_rot = 0
+        id_extra = []          # (g, CoeffPt) identity terms
+        for g, (gshift, items) in enumerate(groups):
+            for r, p in items:
+                if scale is None:
+                    scale = p.scale
+                assert abs(p.scale / scale - 1.0) < 1e-12
+                if r % slots == 0:
+                    id_extra.append((g, p))
+                    continue
+                gidx.append(g)
+                bidx.append(pos[r])
+                los.append(p.lo)
+                his.append(p.hi)
+                n_rot += 1
+        _COUNTS.count("combo_rot", n_rot * _nct(ct))
+        _COUNTS.count("keyswitch", G * _nct(ct))   # G mod-downs
+        c0g, c1g = _combo_stage2_all_core(
+            c0ps, t0s, t1s,
+            jnp.asarray(gidx, jnp.int32), jnp.asarray(bidx, jnp.int32),
+            jnp.stack(los), jnp.stack(his), G, ks)
+        out = Ciphertext(c0g, c1g, nl, ct.scale * scale)
+        for g, p in id_extra:
+            data = _pt_expand_q(p.lo, p.hi, ks)
+            t = self.mul_plain(ct, Plaintext(data, None, nl, p.scale),
+                               rescale=False)
+            z0 = out.c0.at[g].set(ma.addmod(out.c0[g], t.c0,
+                                            ks.q_act))
+            z1 = out.c1.at[g].set(ma.addmod(out.c1[g], t.c1,
+                                            ks.q_act))
+            out = out.with_data(z0, z1)
+        return [gs for gs, _ in groups], out
+
+    def multi_rotate_sum(self, cts: Ciphertext, shifts) -> Ciphertext:
+        """sum_g rotate(cts[g], shifts[g]) as ONE scanned kernel — the
+        giant rotations of a whole BSGS transform in a single dispatch
+        (they were ~25-40 separate 1-ct key switches per matmul).
+        Shift 0 entries skip the switch (added directly)."""
+        ctx = self.ctx
+        nl = cts.nl
+        slots = ctx.cfg.slots
+        ks = ctx.ks_tables(nl)
+        rot_idx = [i for i, r in enumerate(shifts) if r % slots != 0]
+        id_idx = [i for i, r in enumerate(shifts) if r % slots == 0]
+        out = None
+        if rot_idx:
+            _COUNTS.count("keyswitch", len(rot_idx) * _nct(
+                cts.with_data(cts.c0[0], cts.c1[0])))
+            gps, kbs, kas = [], [], []
+            hk = self._require_keys("multi_rotate")
+            for i in rot_idx:
+                rr = shifts[i] % slots
+                key = hk.rot.get(rr) or hk.rot.get(rr - slots)
+                assert key is not None, f"no rotation key for {shifts[i]}"
+                kb, ka = self._sliced_key(key, nl)
+                gps.append(ctx.galois_perm_factored(ctx.galois_t(rr)))
+                kbs.append(_mat_rows(kb))
+                kas.append(_mat_rows(ka))
+            c0, c1 = _multi_galois_sum_core(
+                cts.c0[jnp.asarray(rot_idx)], cts.c1[jnp.asarray(rot_idx)],
+                jnp.stack([g.gamma for g in gps]),
+                jnp.stack([g.bits for g in gps]),
+                jnp.stack([g.rowmap for g in gps]),
+                jnp.stack(kbs), jnp.stack(kas), ks)
+            out = cts.with_data(c0, c1)
+        for i in id_idx:
+            t = cts.with_data(cts.c0[i], cts.c1[i])
             out = t if out is None else self.add(out, t)
         return out
 
@@ -1132,6 +1230,64 @@ def _combo_stage2_core(c0ps, t0s, t1s, idxs, los, his, ks):
     k0 = _mod_down(a0e, ks)
     k1 = _mod_down(a1e, ks)
     return ma.addmod(a0q, k0, ks.q_act), k1
+
+
+@functools.partial(jax.jit, static_argnames=("G",))
+def _combo_stage2_all_core(c0ps, t0s, t1s, gidx, bidx, los, his, G, ks):
+    """Scan over every (group, baby, pt) pair, carrying per-group
+    accumulators; ONE batched mod-down at the end."""
+    nl = ks.nl
+    n = c0ps.shape[-1]
+    zq = jnp.zeros((G,) + c0ps.shape[1:-2] + (nl, n), jnp.uint32)
+    ze = jnp.zeros((G,) + t0s.shape[1:-2] + (t0s.shape[-2], n), jnp.uint32)
+
+    def body(carry, xs):
+        a0q, a0e, a1e = carry
+        g, b, lo, hi = xs
+        pt = _ntt_fwd(_spread_ext(lo, hi, ks), ks.t_tgt)
+        c0p = jax.lax.dynamic_index_in_dim(c0ps, b, 0, False)
+        t0 = jax.lax.dynamic_index_in_dim(t0s, b, 0, False)
+        t1 = jax.lax.dynamic_index_in_dim(t1s, b, 0, False)
+        ptq = pt[..., :nl, :]
+        u0 = ma.addmod(jax.lax.dynamic_index_in_dim(a0q, g, 0, False),
+                       ma.barrett_mulmod(c0p, ptq, ks.q_act, ks.mu_act,
+                                         ks.sh_act), ks.q_act)
+        u0e = ma.addmod(jax.lax.dynamic_index_in_dim(a0e, g, 0, False),
+                        ma.barrett_mulmod(t0, pt, ks.q_tgt, ks.mu_tgt,
+                                          ks.sh_tgt), ks.q_tgt)
+        u1e = ma.addmod(jax.lax.dynamic_index_in_dim(a1e, g, 0, False),
+                        ma.barrett_mulmod(t1, pt, ks.q_tgt, ks.mu_tgt,
+                                          ks.sh_tgt), ks.q_tgt)
+        a0q = jax.lax.dynamic_update_index_in_dim(a0q, u0, g, 0)
+        a0e = jax.lax.dynamic_update_index_in_dim(a0e, u0e, g, 0)
+        a1e = jax.lax.dynamic_update_index_in_dim(a1e, u1e, g, 0)
+        return (a0q, a0e, a1e), None
+
+    (a0q, a0e, a1e), _ = jax.lax.scan(body, (zq, ze, ze),
+                                      (gidx, bidx, los, his))
+    k0 = _mod_down(a0e, ks)
+    k1 = _mod_down(a1e, ks)
+    return ma.addmod(a0q, k0, ks.q_act), k1
+
+
+@jax.jit
+def _multi_galois_sum_core(c0s, c1s, gammas, bitss, rowmaps, kbs, kas, ks):
+    """sum_g galois(cts[g], t_g): a scan of full key switches with an
+    exact modular accumulator — one dispatch for a transform's giants."""
+    n = c0s.shape[-1]
+    zq = jnp.zeros(c0s.shape[1:], jnp.uint32)
+
+    def body(carry, xs):
+        acc0, acc1 = carry
+        c0, c1, gamma, bits, rowmap, kb, ka = xs
+        gp = GaloisPerm(gamma, bits, rowmap)
+        o0, o1 = _galois_core(c0, c1, gp, kb, ka, ks)
+        return (ma.addmod(acc0, o0, ks.q_act),
+                ma.addmod(acc1, o1, ks.q_act)), None
+
+    (acc0, acc1), _ = jax.lax.scan(
+        body, (zq, zq), (c0s, c1s, gammas, bitss, rowmaps, kbs, kas))
+    return acc0, acc1
 
 
 @jax.jit

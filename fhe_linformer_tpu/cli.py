@@ -38,9 +38,11 @@ def _preset_rotations(p, ctx) -> tuple:
     while s < ctx.cfg.slots:
         rots |= {s, -s}
         s *= 2
-    # BSGS baby shifts for the block-major packed circuit (bs=16; the
-    # giants compose from the pow2 set via rotate_any)
+    # BSGS baby + giant shifts for the block-major packed circuit
+    # (bs=16; dedicated giants feed the fused multi-rotate kernel)
     rots |= {j for j in range(1, 16) if j & (j - 1)}
+    rots |= {16 * g for g in range(1, 8)} | \
+        {16 * g - 128 for g in range(1, 8)}
     if p.bootstrap:
         from .boot.bootstrap import Bootstrapper
         rots |= set(Bootstrapper.rotations_for(ctx.cfg.n))

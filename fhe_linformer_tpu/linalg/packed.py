@@ -292,21 +292,36 @@ class PackedOps:
                                   if j})
             stage1 = ev.combo_stage1(ct, y_e, baby_shifts, ks) \
                 if baby_shifts else None
-            acc = None
+            # compressed level-independent plaintexts: one pair of 32-bit
+            # coefficient planes per diagonal instead of per-level eval
+            # rows — the cache-size lever that fits ~3k matmul + ~270
+            # bootstrap diagonals in HBM
+            groups = []
             for g, js in sorted(by_giant.items()):
                 items = []
                 for j, d in sorted(js.items()):
                     dk = np.roll(np.asarray(d), g * bs * stride)
-                    # compressed level-independent plaintexts: one pair of
-                    # 32-bit coefficient planes per diagonal instead of
-                    # per-level eval rows — the cache-size lever that fits
-                    # ~3k matmul + ~270 bootstrap diagonals in HBM
                     cp = ev.encode_coeff_cached((id(diags), g, j), dk,
                                                 scale=scale)
                     items.append((j * stride, cp))
-                inner = ev.combo_stage2(ct, stage1, items, baby_shifts, ks)
-                rot = ev.rotate_any(inner, g * bs * stride) if g else inner
-                acc = rot if acc is None else ev.add(acc, rot)
+                groups.append((g * bs * stride, items))
+            fused = stage1 is not None and ev.has_rotation_keys(
+                gs for gs, _ in groups)
+            if fused:
+                # every giant group in ONE scanned kernel + ONE batched
+                # mod-down + ONE multi-rotate — ~9 dispatches per matmul
+                # instead of ~60 (the tunneled chip's 20-35 ms dispatch
+                # latency dominated the packed layer's wall time)
+                gshifts, stacked = ev.combo_stage2_all(
+                    ct, stage1, groups, baby_shifts, ks)
+                acc = ev.multi_rotate_sum(stacked, gshifts)
+            else:
+                acc = None
+                for gshift, items in groups:
+                    inner = ev.combo_stage2(ct, stage1, items,
+                                            baby_shifts, ks)
+                    rot = ev.rotate_any(inner, gshift) if gshift else inner
+                    acc = rot if acc is None else ev.add(acc, rot)
         else:
             baby_shifts = sorted({j * stride
                                   for js in by_giant.values() for j in js})
