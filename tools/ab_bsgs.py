@@ -85,13 +85,15 @@ def main(B=8, nl_limbs=24):
     got_re = np.real(ev.decrypt(re_path(exp_ct)))[:, :d]
     got_bs = np.real(ev.decrypt(bsgs_path(rep_ct)))[:, :d]
     got_bm = bops.unpack(np.real(ev.decrypt(blockmat_path(blk_ct))),
-                         bops.nb)
+                         Xblk.shape[0])
     err_re = float(np.abs(got_re - want).max())
     err_bs = float(np.abs(got_bs - want).max())
     err_bm = float(np.abs(got_bm - (Xblk @ W.T)).max())
     med_re = float(np.median(np.abs(got_re - want)))
     med_bs = float(np.median(np.abs(got_bs - want)))
     med_bm = float(np.median(np.abs(got_bm - (Xblk @ W.T))))
+    # Xblk rows (= B here) normalize blockmat per-token fairly: its ct
+    # carries nb tokens but only B are populated in this A/B
     print(f"correctness: RE err {err_re:.2e} (med {med_re:.1e}), "
           f"BSGS err {err_bs:.2e} (med {med_bs:.1e}), "
           f"blockmat err {err_bm:.2e} (med {med_bm:.1e})")
