@@ -111,7 +111,8 @@ class BCTables:
     jax.tree_util.register_dataclass,
     meta_fields=("nl", "tgt_idx"),
     data_fields=("digits", "pfold", "pfold_s", "pconv", "pconv_s",
-                 "pinv", "pinv_s", "q_act", "mu_act", "sh_act",
+                 "pinv", "pinv_s", "mdq40", "pmod", "pmod_s",
+                 "q_act", "mu_act", "sh_act",
                  "q_tgt", "mu_tgt", "sh_tgt", "q_sp",
                  "t_act", "t_tgt", "t_sp", "bc", "md",
                  "own", "own_s", "t_comp"))
@@ -130,6 +131,11 @@ class LevelKS:
     pconv_s: jnp.ndarray
     pinv: jnp.ndarray                 # (nl, 1) u32  P^-1 mod q_i
     pinv_s: jnp.ndarray
+    mdq40: jnp.ndarray                # (k, 1) u32 round(2^40 / p_t):
+    # fixed-point reciprocals for the mod-down overflow estimate
+    # (evaluator._md_overflow) — centers the division by P
+    pmod: jnp.ndarray                 # (nl, 1) u32  P mod q_i
+    pmod_s: jnp.ndarray
     q_act: jnp.ndarray                # (nl, 1) u32 active primes
     mu_act: jnp.ndarray
     sh_act: jnp.ndarray
@@ -390,6 +396,12 @@ class Context:
         pconv = pconv2d[:, :, None]                               # (k, nl, 1)
         pinv = np.asarray([pow(P % int(q), int(q) - 2, int(q)) for q in qs_act],
                           np.int64).reshape(-1, 1)
+        pmodq = np.asarray([P % int(q) for q in qs_act],
+                           np.int64).reshape(-1, 1)
+        mdq40 = np.asarray([(((1 << 41) // pt) + 1) >> 1 for pt in self.ps],
+                           np.uint32).reshape(-1, 1)
+        assert int(mdq40.max()) < (1 << 16), \
+            "special prime too small for the 2^40 mod-down fixed point"
         qcol = qs_act.reshape(-1, 1)
         act_idx = self.limb_idx(nl)
         sp_idx = tuple(range(self.num_q, self.num_q + self.k_sp))
@@ -486,6 +498,9 @@ class Context:
             pconv_s=jnp.asarray(ma.shoup_precompute(pconv, qcol[None, :, :])),
             pinv=jnp.asarray(pinv.astype(np.uint32)),
             pinv_s=jnp.asarray(ma.shoup_precompute(pinv, qcol)),
+            mdq40=jnp.asarray(mdq40),
+            pmod=jnp.asarray(pmodq.astype(np.uint32)),
+            pmod_s=jnp.asarray(ma.shoup_precompute(pmodq, qcol)),
             q_act=qa, mu_act=mua, sh_act=sha,
             q_tgt=qtg, mu_tgt=mutg, sh_tgt=shtg,
             q_sp=jnp.asarray(pcol.astype(np.uint32)),

@@ -1353,22 +1353,55 @@ def _hoist_rotate_core(c0, y_e, gp, kb, ka, ks):
     return ma.addmod(r0, k0, ks.q_act), k1
 
 
+def _md_overflow(w, mdq40):
+    """Deterministic v = round(sum_t w_t / p_t), the CRT overflow of the
+    fast base conversion P -> Q: the converted value is [x]_P + v*P with
+    v in [0, k_sp), so the division by P under-shoots by v — an error of
+    mean ~k_sp/2 PER COEFFICIENT PER SWITCH that previously accumulated
+    coherently across the circuit's thousands of key switches and set
+    the 0.76-bit bootstrap precision ceiling (a constant coefficient
+    bias of b maps to slot errors up to ~b*N/pi at the near-unity
+    embedding roots; round-3 decomposition: math 10.5 b vs crypto 0.8 b).
+    Adding v back — and rounding rather than flooring — centers the
+    mod-down error to (-1/2, 1/2] like _rescale_core's centered lift.
+
+    Integer fixed-point planes (w * round(2^40/p_t) accumulated as exact
+    u32 16-bit partial sums, combined in f32 only at the very end) make
+    the estimate identical under ANY summation grouping, so the
+    limb-sharded KS (parallel/ksprod.py psum of the same planes) stays
+    bit-exact vs single device."""
+    a = (w & 0xFFFF) * mdq40                    # < 2^16 * 2^11: u32-exact
+    b = (w >> 16) * mdq40                       # < 2^14 * 2^11
+    al = jnp.sum(a & 0xFFFF, axis=-2, keepdims=True)      # < k * 2^16
+    ahbb = jnp.sum((a >> 16) + b, axis=-2, keepdims=True)  # < k * 2^26
+    s = al.astype(jnp.float32) * (2.0 ** -40) \
+        + ahbb.astype(jnp.float32) * (2.0 ** -24)
+    return jnp.round(s).astype(jnp.uint32)
+
+
 def _mod_down(x, ks):
-    """(..., nl + k_sp, N) over Q*P -> (..., nl, N) over Q: divide by P."""
+    """(..., nl + k_sp, N) over Q*P -> (..., nl, N) over Q: divide by P,
+    rounded (centered via the _md_overflow correction)."""
     from ..ops import basecvt
     nl = ks.nl
     xq = x[..., :nl, :]
     xp = x[..., nl:, :]
     vp = _ntt_inv(xp, ks.t_sp)
+    w = ma.shoup_mulmod(vp, ks.pfold, ks.pfold_s, ks.q_sp)
+    v = _md_overflow(w, ks.mdq40)
     if basecvt.use_pallas() and ks.md.convp is not None:
         y = basecvt.base_convert(vp, ks.md)[0]
     else:
-        w = ma.shoup_mulmod(vp, ks.pfold, ks.pfold_s, ks.q_sp)
         y = None
         for ti in range(w.shape[-2]):
             term = ma.shoup_mulmod(w[..., ti: ti + 1, :], ks.pconv[ti],
                                    ks.pconv_s[ti], ks.q_act)
             y = term if y is None else ma.addmod(y, term, ks.q_act)
+    # apply the overflow correction in the COEFFICIENT domain (v is a
+    # per-coefficient integer): y -= v*P makes (x - y)/P = floor + v,
+    # i.e. round(x/P), and rides the existing NTT for free
+    y = ma.submod(y, ma.shoup_mulmod(v, ks.pmod, ks.pmod_s, ks.q_act),
+                  ks.q_act)
     y_e = _ntt_fwd(y, ks.t_act)
     diff = ma.submod(xq, y_e, ks.q_act)
     return ma.shoup_mulmod(diff, ks.pinv, ks.pinv_s, ks.q_act)

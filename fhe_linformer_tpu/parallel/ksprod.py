@@ -107,6 +107,10 @@ class ShardedKSPlan:
     pinv: jnp.ndarray          # (T, 1) P^-1 mod q (0 on special rows)
     pinv_s: jnp.ndarray
     rowmask: jnp.ndarray       # (T, 1) 1 on active rows else 0
+    mdq40: jnp.ndarray         # (T, 1) round(2^40/p_t) (0 on active rows):
+    # mod-down overflow reciprocals (evaluator._md_overflow)
+    pmod: jnp.ndarray          # (T, 1) P mod q (0 on special rows)
+    pmod_s: jnp.ndarray
 
 
 def build_sharded_ks(ctx, nl: int, nshard: int) -> ShardedKSPlan:
@@ -142,6 +146,8 @@ def build_sharded_ks(ctx, nl: int, nshard: int) -> ShardedKSPlan:
     q_act = tgt_primes[:nl].reshape(-1, 1)
     pinv = np.zeros((T, 1), np.int64)
     pinv[:nl] = np.asarray(ks.pinv, np.int64)
+    pmod_t = np.zeros((T, 1), np.int64)
+    pmod_t[:nl] = np.asarray(ks.pmod, np.int64)
     p16r = (np.int64(1 << 16) % q_row).reshape(-1, 1)
     a16 = (np.int64(1 << 16) % q_act)
 
@@ -171,6 +177,11 @@ def build_sharded_ks(ctx, nl: int, nshard: int) -> ShardedKSPlan:
         pinv=u(pinv), pinv_s=jnp.asarray(ma.shoup_precompute(
             np.where(pinv == 0, 1, pinv), gq) * (pinv != 0)),
         rowmask=u((np.arange(T) < nl).astype(np.int64).reshape(-1, 1)),
+        mdq40=u(np.concatenate([
+            np.zeros((nl, 1), np.int64),
+            np.asarray(ks.mdq40, np.int64)])),
+        pmod=u(pmod_t), pmod_s=jnp.asarray(ma.shoup_precompute(
+            np.where(pmod_t == 0, 1, pmod_t), gq) * (pmod_t != 0)),
     )
 
 
@@ -226,6 +237,19 @@ def make_sharded_galois(mesh: Mesh, plan: ShardedKSPlan, gp):
         for acc, radd in ((acc0, r0), (acc1, None)):
             vp = ma.shoup_mulmod(ntt_inv(acc, tbl), sl(pl.pfold),
                                  sl(pl.pfold_s), q_l)   # active rows -> 0
+            # overflow estimate v = round(sum_t vp_t/p_t): exact-integer
+            # 16-bit planes, identical grouping math to the single-device
+            # evaluator._md_overflow (bit-exact under any sharding)
+            m_l = sl(pl.mdq40)                          # 0 on active rows
+            ov_a = (vp & jnp.uint32(0xFFFF)) * m_l
+            ov_b = (vp >> jnp.uint32(16)) * m_l
+            ov_al = jnp.sum(ov_a & jnp.uint32(0xFFFF), axis=0, keepdims=True)
+            ov_hb = jnp.sum((ov_a >> jnp.uint32(16)) + ov_b, axis=0,
+                            keepdims=True)
+            ov_al, ov_hb = jax.lax.psum((ov_al, ov_hb), "limb")
+            vcorr = jnp.round(
+                ov_al.astype(jnp.float32) * (2.0 ** -40)
+                + ov_hb.astype(jnp.float32) * (2.0 ** -24)).astype(jnp.uint32)
             tm = ma.shoup_mulmod(vp[:, None, :], sl(pl.pconv)[:, :, None],
                                  sl(pl.pconv_s)[:, :, None],
                                  pl.q_act_row[None])    # (per, nl, N)
@@ -241,6 +265,11 @@ def make_sharded_galois(mesh: Mesh, plan: ShardedKSPlan, gp):
             pad = jnp.zeros((plan.k_sp, yq.shape[-1]), jnp.uint32)
             yq_ext = jnp.concatenate([yq, pad], axis=0)
             yq_l = jax.lax.dynamic_slice_in_dim(yq_ext, lo, per, 0)
+            # coefficient-domain overflow correction: yq -= v*P, making
+            # (acc - yq)/P the ROUNDED division (pmod is 0 on special
+            # rows, so pads stay zero)
+            yq_l = ma.submod(yq_l, ma.shoup_mulmod(
+                vcorr, sl(pl.pmod), sl(pl.pmod_s), q_l), q_l)
             y_e2 = ntt_fwd(yq_l, tbl)
             diff = ma.submod(acc, y_e2, q_l)
             out = ma.shoup_mulmod(diff, sl(pl.pinv), sl(pl.pinv_s), q_l)
