@@ -27,6 +27,7 @@ workflow, Utils.h:105-125, automated).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -291,6 +292,21 @@ class Bootstrapper:
         yr = g.with_data(g.c0[0], g.c1[0])
         yi = g.with_data(g.c0[1], g.c1[1])
         return self.slots_to_coeffs(yr, yi, s_in)
+
+    def refresh(self, ct: Ciphertext) -> Ciphertext:
+        """Layer-facing refresh: the 2-iteration precision bootstrap by
+        default (FHE_BOOT2=0 opts back into the cheap single pass).
+
+        With 26-bit u32 limbs the single-pass EvalMod approximation
+        error is broadband ~2-2.5 bits (tools/prec_probe.py anatomy:
+        err median within 6x of max, not linear in the message) — far
+        below the reference's 52-bit-scale precision — while the second
+        iteration refines it to ~7.4 bits at 2^12 (32x).  The circuits'
+        decrypt-vs-golden checks need the precision variant; perf A/Bs
+        can opt out per run."""
+        if os.environ.get("FHE_BOOT2", "1") == "0":
+            return self.bootstrap(ct)
+        return self.bootstrap2(ct)
 
     def bootstrap2(self, ct: Ciphertext, prec_bits: int = 5) -> Ciphertext:
         """Two-iteration bootstrap (the reference's precision variant,

@@ -312,7 +312,7 @@ class EncryptedLinformer:
             packed = self.g.eval_gelu(packed, -1.0, 1.0, mult=p.gelu_clip,
                                       degree=p.gelu_degree)
             if boot is not None:
-                packed = boot.bootstrap(packed)
+                packed = boot.refresh(packed)
             # unpack: batch j of container c = piece c*G + j
             outs = []
             for c in range(packed.c0.shape[0]):
@@ -332,7 +332,7 @@ class EncryptedLinformer:
             h = self.g.eval_gelu(h, -1.0, 1.0, mult=p.gelu_clip,
                                  degree=p.gelu_degree)
             if boot is not None:
-                h = boot.bootstrap(h)
+                h = boot.refresh(h)
         # down-projection: sum_b W2[:, b-block] @ h_b  (CR layout per block)
         acc = None
         for bkt in range(nblk):
@@ -357,7 +357,7 @@ class EncryptedLinformer:
         from ..poly.gadgets import relu_degree_depth
         if boot is not None and \
                 pooled.nl - 1 < relu_degree_depth(p.tanh_degree) + 3:
-            pooled = boot.bootstrap(pooled)
+            pooled = boot.refresh(pooled)
         pooled = self.g.eval_tanh(pooled, -1.0, 1.0, mult=p.tanh_scale,
                                   degree=p.tanh_degree)
         # classifier: CR layout (n_classes rows)
@@ -420,7 +420,7 @@ class EncryptedLinformer:
         wrapped = self.wrap_tokens(attn)
         wrapped = self.affine(wrapped, w.a1, w.b1, w.c1, S_total)
         if boot is not None:
-            wrapped = boot.bootstrap(wrapped)
+            wrapped = boot.refresh(wrapped)
         x2 = self.unwrap_tokens(wrapped, S_total)
         y = self.ffn(x2, boot=boot)
         x2m, ym = self.ev.match(x2, y)
@@ -428,7 +428,7 @@ class EncryptedLinformer:
         wrapped2 = self.wrap_tokens(res)
         wrapped2 = self.affine(wrapped2, w.a2, w.b2, w.c2, S_total)
         if boot is not None:
-            wrapped2 = boot.bootstrap(wrapped2)
+            wrapped2 = boot.refresh(wrapped2)
         return self.unwrap_tokens(wrapped2, S_total)
 
     # -- full forward ---------------------------------------------------

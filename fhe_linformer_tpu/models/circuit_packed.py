@@ -162,7 +162,7 @@ class PackedLinformer:
         nblk = w.W1.shape[0] // d
         if boot is not None and \
                 x_ct.nl - 1 < relu_degree_depth(p.gelu_degree) + 3:
-            x_ct = boot.bootstrap(x_ct)
+            x_ct = boot.refresh(x_ct)
         ups = []
         for bkt in range(nblk):
             Wb = w.W1[bkt * d:(bkt + 1) * d]
@@ -173,7 +173,7 @@ class PackedLinformer:
         h = self.g.eval_gelu(h, -1.0, 1.0, mult=p.gelu_clip,
                              degree=p.gelu_degree)
         if boot is not None and h.nl < 4:
-            h = boot.bootstrap(h)             # backstop (normally skipped)
+            h = boot.refresh(h)             # backstop (normally skipped)
         acc = None
         for bkt in range(nblk):
             hb = h.with_data(h.c0[bkt], h.c1[bkt])
@@ -200,7 +200,7 @@ class PackedLinformer:
             # entry refresh: the extract/pool/tanh/classify chain needs
             # ~16 levels (the reference's unconditional pooler bootstrap,
             # main_2.cpp:390); affine2's output typically arrives at 2
-            c0 = boot.bootstrap(c0)
+            c0 = boot.refresh(c0)
         pt_b0 = ev.encode_cached(("mask_block0", d), ops.mask_block(0),
                                  nl=c0.nl)
         cls_rep = ops.repeat(ev.mul_plain(c0, pt_b0), nb, d)  # cls tiled
@@ -216,7 +216,7 @@ class PackedLinformer:
             bp, nl=pooled.nl, scale=pooled.scale))
         if boot is not None and \
                 pooled.nl - 1 < relu_degree_depth(p.tanh_degree) + 4:
-            pooled = boot.bootstrap(pooled)
+            pooled = boot.refresh(pooled)
         pooled = self.g.eval_tanh(pooled, -1.0, 1.0, mult=p.tanh_scale,
                                   degree=p.tanh_degree)
         # clean to expanded (t[j] fills block j), then RE-style classifier
