@@ -23,6 +23,18 @@ import time
 import numpy as np
 
 
+def _json_default(o):
+    """Last-resort coercion for numpy scalars: a persist() crash mid-dump
+    truncates the artifact file (round-3 postmortem)."""
+    if isinstance(o, (np.bool_,)):
+        return bool(o)
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
 def _calibrated(w, emb, inv_degree, gelu_degree, tanh_degree, exp_pow8):
     from fhe_linformer_tpu.models import golden
     from fhe_linformer_tpu.models.circuit import CircuitParams
@@ -57,14 +69,20 @@ def main_packed(S=128, boot=True):
     from fhe_linformer_tpu.utils.timing import GLOBAL_TIMERS
 
     t0 = time.time()
+    wide = os.environ.get("FHE_WIDE_BOOT", "1") == "1"
     if boot:
         from fhe_linformer_tpu.config import get
         from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
-        cfg = get("linformer-boot").ckks
+        # round-4 default: the wide (paired-scale) bootstrap — single-pass
+        # precision ~10.8 bits vs 2.4 (tools/prec_probe.py), on the longer
+        # chain preset; FHE_WIDE_BOOT=0 opts back into round 3's narrow
+        # pipeline (which needs the 2-iteration refresh for argmax parity)
+        cfg = get("linformer-boot-w" if wide else "linformer-boot").ckks
     else:
         cfg = CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=44, dnum=4)
     ctx = Context(cfg)
-    print(f"context {time.time()-t0:.1f}s basis={len(ctx.basis)}", flush=True)
+    print(f"context {time.time()-t0:.1f}s basis={len(ctx.basis)}"
+          f"{' wide-boot' if boot and wide else ''}", flush=True)
 
     pow2 = set()
     s = 1
@@ -81,15 +99,17 @@ def main_packed(S=128, boot=True):
     bootcfg = None
     boot_rots = set()
     if boot:
-        bootcfg = BootConfig()
+        bootcfg = BootConfig.wide_production() if wide else BootConfig()
         boot_rots = set(Bootstrapper.rotations_for(cfg.n, bootcfg))
     t0 = time.time()
     # circuit-only keys at a reduced basis (max circuit level is the boot
-    # output ~19; 22 leaves margin) — the key-HBM lever of KSKey.max_nl
+    # output: ~19 narrow / ~22 wide; +3 leaves margin) — the key-HBM
+    # lever of KSKey.max_nl
     reduced = tuple(sorted((pow2 | babies) - boot_rots))
     keys = generate_keys(ctx, rotations=tuple(sorted(boot_rots)), conj=boot,
                          rotations_reduced=reduced,
-                         reduced_max_nl=22 if boot else None)
+                         reduced_max_nl=(25 if wide else 22) if boot
+                         else None)
     print(f"keys {time.time()-t0:.1f}s ({len(boot_rots)} full + "
           f"{len(reduced)} reduced rotations)", flush=True)
     ev = Evaluator(ctx, keys)
@@ -125,8 +145,12 @@ def main_packed(S=128, boot=True):
     out_name = f"bench_layer_S{S}_packed{'_boot' if boot else ''}.json"
 
     def persist():
-        with open(out_name, "w") as fh:
-            json.dump(results, fh, indent=1)
+        # atomic: dump to a temp then rename, so a crash can never leave a
+        # truncated artifact (round-3 postmortem)
+        tmp = out_name + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(results, fh, indent=1, default=_json_default)
+        __import__("os").replace(tmp, out_name)
 
     def stage(name, f, *a, **k):
         t0 = time.time()
@@ -206,7 +230,10 @@ def main_packed(S=128, boot=True):
         logits = vals[: w.Wc.shape[0]]
         want = inter["logits"]
         err = float(np.max(np.abs(logits - want)))
-        ok = bool(np.argmax(logits) == np.argmax(want)) and np.isfinite(err)
+        # bool() the WHOLE expression: `x and np.isfinite(err)` yields a
+        # non-serializable np.bool_ when x is True (round-3 persist crash)
+        ok = bool((np.argmax(logits) == np.argmax(want))
+                  and np.isfinite(err))
         results["logits_max_err"] = round(err, 5)
         results["argmax_matches_golden"] = ok
         print(f"decrypt check: argmax match={ok}, max|err|={err:.4g}",
@@ -229,11 +256,12 @@ def main(S=128, boot=False, num_scaling=44, full=True):
     from fhe_linformer_tpu.utils.timing import GLOBAL_TIMERS
 
     t0 = time.time()
+    import os
+    wide = os.environ.get("FHE_WIDE_BOOT", "1") == "1"
     if boot:
-        import os
         from fhe_linformer_tpu.config import get
         from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
-        cfg = get("linformer-boot").ckks
+        cfg = get("linformer-boot-w" if wide else "linformer-boot").ckks
         if S > 128:
             # large-S HBM budget: cap each bootstrap's batch (uniform
             # batch-2 shapes -> one boot compile serves every hook).
@@ -253,7 +281,7 @@ def main(S=128, boot=False, num_scaling=44, full=True):
         s *= 2
     bootcfg = None
     if boot:
-        bootcfg = BootConfig()
+        bootcfg = BootConfig.wide_production() if wide else BootConfig()
         rots |= set(Bootstrapper.rotations_for(cfg.n, bootcfg))
     t0 = time.time()
     keys = generate_keys(ctx, rotations=tuple(sorted(rots)), conj=boot)
@@ -287,8 +315,12 @@ def main(S=128, boot=False, num_scaling=44, full=True):
     out_name = f"bench_layer_S{S}{'_boot' if boot else ''}.json"
 
     def persist():
-        with open(out_name, "w") as fh:
-            json.dump(results, fh, indent=1)
+        # atomic: dump to a temp then rename, so a crash can never leave a
+        # truncated artifact (round-3 postmortem)
+        tmp = out_name + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(results, fh, indent=1, default=_json_default)
+        __import__("os").replace(tmp, out_name)
 
     def stage(name, f, *a, **k):
         t0 = time.time()
@@ -407,8 +439,8 @@ def main(S=128, boot=False, num_scaling=44, full=True):
             logits = vals[: w.Wc.shape[0] * circ.ops.d: circ.ops.d]
             want = inter["logits"]
             err = float(np.max(np.abs(logits - want)))
-            ok = bool(np.argmax(logits) == np.argmax(want)) \
-                and np.isfinite(err)
+            ok = bool((np.argmax(logits) == np.argmax(want))
+                      and np.isfinite(err))
             results["logits_max_err"] = round(err, 5)
             results["argmax_matches_golden"] = ok
             print(f"decrypt check: argmax match={ok}, max|err|={err:.4g}",

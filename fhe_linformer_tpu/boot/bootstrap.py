@@ -49,6 +49,26 @@ class BootConfig:
     sin_degree: int = 119
     double_angles: int = 3
     bs: int = 0                      # BSGS baby size; 0 = auto
+    # -- round-4 precision levers (ROADMAP: the 0.8-bit ceiling is the
+    # 2^26-scale crypto noise amplified through EvalMod, NOT the math) --
+    # wide: run the internal pipeline (CtS exit -> EvalMod -> StC) at the
+    # PAIRED working scale ~delta^2 = 2^52: noise drops to 2^-43 relative
+    # per op.  Costs ~2x the multiplicative limbs between CtS and StC —
+    # pair it with a longer chain (config 'linformer-boot-w').
+    wide: bool = False
+    # scale_boost: exact power-of-two pre-multiplier on the INPUT scale
+    # (message * f reinterpreted as scale * f — free): raises s_in toward
+    # q0 so noise injected before the q0/(2*pi*s_in) StC fold is amplified
+    # by ~q0/s_in less.  Requires |message| * boost * scale < q0/2 at
+    # mod-raise: at delta 2^26 / q0 2^30 that is |m| < 8/boost — use 2 for
+    # circuit refresh sites (exp outputs reach ~4), 4 for |m| <= 2 probes.
+    scale_boost: int = 1
+
+    @classmethod
+    def wide_production(cls, scale_boost: int = 2) -> "BootConfig":
+        """The round-4 production config: paired-scale internal pipeline +
+        input scale boost (pair with the 'linformer-boot-w' preset)."""
+        return cls(wide=True, scale_boost=scale_boost)
 
 
 class Bootstrapper:
@@ -68,7 +88,7 @@ class Bootstrapper:
         self.sin_coeffs = chebyshev_fit(
             lambda y: np.cos(2 * np.pi * (y - 0.25) / (1 << r)),
             -self.cfg.K, self.cfg.K, self.cfg.sin_degree)
-        self.poly = PolyEvaluator(ev)
+        self.poly = PolyEvaluator(ev, wide=self.cfg.wide)
 
     # -- key requirements --------------------------------------------------
 
@@ -176,29 +196,43 @@ class Bootstrapper:
         last = len(self.cts_diags) - 1
         for gi in range(len(self.cts_diags)):
             dg = self._folded("cts", gi, alpha if gi == last else 1.0)
+            # wide mode: the last group RAISES the working scale by one
+            # prime (~2^26 -> ~2^52) so EvalMod's whole chain runs with
+            # crypto noise at 2^-43 relative
+            mode = "raise" if (self.cfg.wide and gi == last) else "double"
             ct = self.ops.bsgs_diag_transform(ct, dg, self.bs,
-                                              double_rescale=True)
+                                              rescale_mode=mode)
         return ct
 
     def slots_to_coeffs(self, ct_r: Ciphertext, ct_i: Ciphertext,
-                        s_in: float) -> Ciphertext:
+                        s_in: float, out_div: float = 1.0) -> Ciphertext:
         """Recombine yr + i*yi inside the first StC group: both operands go
         through *identical* op chains (same plaintext scale, same dropped
         prime), so their tracked scales agree exactly — no scale forcing,
         which would bake the FLEXIBLEAUTO Delta/q drift (~1e-3) into the
         message."""
         ev = self.ev
-        beta = self.q0 / (2 * math.pi * s_in)
+        # out_div != 1 divides the OUTPUT MESSAGE by folding 1/out_div into
+        # the StC constant — free, and it keeps the tracked (nl, scale)
+        # identical to an out_div=1 bootstrap (bootstrap2 relies on this)
+        beta = self.q0 / (2 * math.pi * s_in * out_div)
+        last = len(self.stc_diags) - 1
+
+        def mode(gi):
+            # wide mode: the last StC group LOWERS the paired working
+            # scale back by one prime, landing the output near s_in
+            return "lower" if (self.cfg.wide and gi == last) else "double"
         g0 = self._folded("stc", 0, beta)
         g0i = self._folded("stc", 0, beta * 1j)
         a = self.ops.bsgs_diag_transform(ct_r, g0, self.bs,
-                                         double_rescale=True)
+                                         rescale_mode=mode(0))
         b = self.ops.bsgs_diag_transform(ct_i, g0i, self.bs,
-                                         double_rescale=True)
+                                         rescale_mode=mode(0))
         ct = ev.add(a, b)
         for gi in range(1, len(self.stc_diags)):
             ct = self.ops.bsgs_diag_transform(ct, self._folded("stc", gi, 1.0),
-                                              self.bs, double_rescale=True)
+                                              self.bs,
+                                              rescale_mode=mode(gi))
         return ct
 
     def eval_mod(self, ct: Ciphertext, pre_factor: complex) -> Ciphertext:
@@ -206,9 +240,30 @@ class Bootstrapper:
         the conjugation-split constant and the [-K,K]->[-1,1] normalization
         into one exact complex multiply."""
         ev = self.ev
-        pt = ev.encode(np.full(self.M, pre_factor / self.cfg.K), nl=ct.nl)
-        y = ev.mul_plain(ct, pt, rescale=True)
+        pt = ev.encode(np.full(self.M, pre_factor / self.cfg.K), nl=ct.nl,
+                       scale=self._pre_scale(ct.nl))
+        y = self._wide_pt_rescale(ev.mul_plain(ct, pt, rescale=False),
+                                  ct.scale)
         return self._eval_mod_tail(y)
+
+    def _pre_scale(self, nl: int) -> float | None:
+        """Plaintext scale for the EvalMod pre-factor multiply: in wide
+        mode the exact product of the two primes the double rescale drops
+        (keeps the paired working scale; quantization 2^-52)."""
+        if not self.cfg.wide:
+            return None
+        qs = self.ev.ctx.qs
+        return float(qs[nl - 1]) * float(qs[nl - 2])
+
+    def _wide_pt_rescale(self, y: Ciphertext, s_in: float) -> Ciphertext:
+        """After a pre-factor multiply: one rescale normally, two in wide
+        mode (exact: pt scale == product of the dropped primes)."""
+        ev = self.ev
+        y = ev.rescale(y)
+        if self.cfg.wide:
+            y = ev.rescale(y)
+            y.scale = s_in          # exact by construction
+        return y
 
     def eval_mod_pair(self, pair: Ciphertext) -> Ciphertext:
         """eval_mod on the stacked (2, ...) re/im pair with per-element
@@ -218,31 +273,34 @@ class Bootstrapper:
         ev = self.ev
         rows = np.stack([np.full(self.M, 0.5 / self.cfg.K),
                          np.full(self.M, -0.5j / self.cfg.K)])
-        pt = ev.encode(rows, nl=pair.nl, batch=True)
+        pt = ev.encode(rows, nl=pair.nl, batch=True,
+                       scale=self._pre_scale(pair.nl))
         nb = pair.c0.ndim - 3          # batch dims between the pair axis
         if nb:                         # and (nl, N)
             import jax.numpy as jnp
             d2 = pt.data.reshape((2,) + (1,) * nb + pt.data.shape[-2:])
             pt = type(pt)(d2, None, pt.nl, pt.scale)
-        y = ev.mul_plain(pair, pt, rescale=True)
+        y = self._wide_pt_rescale(ev.mul_plain(pair, pt, rescale=False),
+                                  pair.scale)
         return self._eval_mod_tail(y)
 
     def _eval_mod_tail(self, y: Ciphertext) -> Ciphertext:
         import math as _math
         ev = self.ev
         g = self.poly.eval_chebyshev_series(y, self.sin_coeffs)
+        anchor = self.poly.anchor
         for _ in range(self.cfg.double_angles):
             # backstop: each squaring doubles the log-scale drift; keep it
             # inside the float/encode windows (normally dormant — the
-            # Chebyshev exit normalization already lands near delta)
-            if abs(_math.log2(g.scale / ev.ctx.delta)) > 8.0 and g.nl > 1:
-                g = ev.adjust(g, g.nl - 1, ev.ctx.delta)
-            g = ev.mul(g, g)
+            # Chebyshev exit normalization already lands near the anchor)
+            if abs(_math.log2(g.scale / anchor)) > 8.0 and g.nl > 1:
+                g = ev.adjust(g, g.nl - 1, anchor)
+            g = self.poly._mul(g, g)
             g = ev.mul_scalar_int(g, 2)
             g = ev.add_plain(g, ev.encode_const(-1.0, g.nl, g.scale))
         return g
 
-    def bootstrap(self, ct: Ciphertext) -> Ciphertext:
+    def bootstrap(self, ct: Ciphertext, out_div: float = 1.0) -> Ciphertext:
         """Refresh a depleted ciphertext to the full chain minus the boot
         depth (EvalBootstrap parity).
 
@@ -271,15 +329,26 @@ class Bootstrapper:
                     z = jnp.zeros((pad,) + part.c0.shape[1:], part.c0.dtype)
                     part = part.with_data(jnp.concatenate([part.c0, z]),
                                           jnp.concatenate([part.c1, z]))
-                outs.append(self._bootstrap_impl(part))
+                outs.append(self._bootstrap_impl(part, out_div))
             full = outs[0].with_data(
                 jnp.concatenate([o.c0 for o in outs]),
                 jnp.concatenate([o.c1 for o in outs]))
             return full.with_data(full.c0[: lead[0]], full.c1[: lead[0]])
-        return self._bootstrap_impl(ct)
+        return self._bootstrap_impl(ct, out_div)
 
-    def _bootstrap_impl(self, ct: Ciphertext) -> Ciphertext:
+    def _bootstrap_impl(self, ct: Ciphertext,
+                        out_div: float = 1.0) -> Ciphertext:
         """One uncounted, unchunked bootstrap (bootstrap() is the entry)."""
+        f = int(self.cfg.scale_boost)
+        if f > 1:
+            # raise s_in toward q0 (message * f at the same scale, then
+            # reinterpret — exact and free).  All downstream folds use the
+            # tracked scale, so the output message is unchanged; noise
+            # injected before the StC beta fold is amplified by q0/s_in
+            # less.  mod_raise needs |m| * s_in < q0/2.
+            assert f * ct.scale * 2 < self.q0, (f, ct.scale, self.q0)
+            ct = self.ev.mul_scalar_int(ct, f)
+            ct.scale = ct.scale * f
         s_in = ct.scale
         raised = self.mod_raise(ct)
         enc = self.coeffs_to_slots(raised)
@@ -291,20 +360,17 @@ class Bootstrapper:
         g = self.eval_mod_pair(pair)           # identical chains, batch 2
         yr = g.with_data(g.c0[0], g.c1[0])
         yi = g.with_data(g.c0[1], g.c1[1])
-        return self.slots_to_coeffs(yr, yi, s_in)
+        return self.slots_to_coeffs(yr, yi, s_in, out_div)
 
     def refresh(self, ct: Ciphertext) -> Ciphertext:
-        """Layer-facing refresh: the 2-iteration precision bootstrap by
-        default (FHE_BOOT2=0 opts back into the cheap single pass).
-
-        With 26-bit u32 limbs the single-pass EvalMod approximation
-        error is broadband ~2-2.5 bits (tools/prec_probe.py anatomy:
-        err median within 6x of max, not linear in the message) — far
-        below the reference's 52-bit-scale precision — while the second
-        iteration refines it to ~7.4 bits at 2^12 (32x).  The circuits'
-        decrypt-vs-golden checks need the precision variant; perf A/Bs
-        can opt out per run."""
-        if os.environ.get("FHE_BOOT2", "1") == "0":
+        """Layer-facing refresh.  Non-wide configs default to the
+        2-iteration precision bootstrap (the 26-bit-scale single pass
+        measured ~0.8-2.4 bits; the second iteration refines ~5 bits —
+        tools/prec_probe.py); WIDE configs default to the single pass,
+        whose paired-scale EvalMod already clears 10 bits.  FHE_BOOT2=1/0
+        overrides either default per run."""
+        default = "0" if self.cfg.wide else "1"
+        if os.environ.get("FHE_BOOT2", default) == "0":
             return self.bootstrap(ct)
         return self.bootstrap2(ct)
 
@@ -319,11 +385,13 @@ class Bootstrapper:
         y1_low = ev.adjust(y1, 1, ct.scale) if y1.nl > 1 else y1
         ct_low = ev.drop_to(ct, 1)
         e = ev.sub(y1_low, ct_low)
-        e = ev.mul_scalar_int(e, 1 << prec_bits)   # message *= 2^p
-        eb = self.bootstrap(e)
-        eb.scale = eb.scale * (1 << prec_bits)     # message /= 2^p (free)
-        y1m, ebm = ev.match(y1, eb)
-        return ev.sub(y1m, ebm)
+        e = ev.mul_scalar_int(e, 1 << prec_bits)   # message *= 2^p (SNR)
+        # the second boot folds /2^p into its StC beta (out_div), so eb
+        # returns at the SAME (nl, scale) as y1: the final sub costs no
+        # reconciliation level and bootstrap2's output (nl, scale) equals
+        # bootstrap's — circuit level gates hold under either refresh
+        eb = self.bootstrap(e, out_div=float(1 << prec_bits))
+        return ev.sub(y1, eb)
 
     # -- numpy simulator (development oracle / precision report) ----------
 

@@ -402,6 +402,14 @@ class Context:
                            np.uint32).reshape(-1, 1)
         assert int(mdq40.max()) < (1 << 16), \
             "special prime too small for the 2^40 mod-down fixed point"
+        # rounding-accuracy margin: round(2^40/p_t) truncation gives a
+        # per-sum estimate error up to ~k_sp*p_max/2^41, so coefficients
+        # whose true fractional overflow lies within that band of 0.5 can
+        # mis-round v by +-1 (a bounded, deterministic coefficient error).
+        # Guard the margin so larger-k_sp / larger-p configs can't
+        # silently degrade past the correction's design point.
+        assert self.k_sp * max(self.ps) / float(1 << 41) < 0.25, \
+            "mod-down overflow fixed point too coarse for this chain"
         qcol = qs_act.reshape(-1, 1)
         act_idx = self.limb_idx(nl)
         sp_idx = tuple(range(self.num_q, self.num_q + self.k_sp))

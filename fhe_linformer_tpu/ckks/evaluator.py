@@ -659,10 +659,79 @@ class Evaluator:
 
         items: [(shift, Plaintext)] where each Plaintext was encoded with
         specials=True at a COMMON scale.  Returns the un-rescaled sum at
-        scale ct.scale * pt.scale."""
+        scale ct.scale * pt.scale.
+
+        With enable_sharded_ks(mesh) active and a tiling level, the whole
+        combo runs limb-sharded under shard_map (parallel/ksprod.py
+        make_sharded_combo — bit-exact vs this path)."""
+        if getattr(self, "_shard_mesh", None) is not None:
+            out = self._combo_sharded(ct, items)
+            if out is not None:
+                return out
         ks = self.ctx.ks_tables(ct.nl)
         y_e = _hoist_decompose_core(ct.c1, ks)
         return self.combo_from_decomp(ct, y_e, items, ks)
+
+    def _combo_sharded(self, ct: Ciphertext, items):
+        """SPMD rotate_combo over the limb mesh, or None when this shape /
+        item set can't ride it (batched ct, reduced-basis keys, identity
+        terms, non-coeff plaintexts, non-tiling level)."""
+        mesh = getattr(self, "_shard_mesh", None)
+        ctx = self.ctx
+        nl = ct.nl
+        nshard = mesh.shape["limb"]
+        slots = ctx.cfg.slots
+        if ct.c0.ndim != 2 or (nl + ctx.k_sp) % nshard != 0:
+            return None
+        if not all(isinstance(p, CoeffPlaintext) and r % slots != 0
+                   for r, p in items):
+            return None
+        keys = self.keys
+        if keys is None:
+            return None
+        shifts = []
+        for r, _ in items:
+            rr = r % slots
+            key = keys.rot.get(rr) or keys.rot.get(rr - slots)
+            if key is None or key.max_nl is not None:
+                return None
+            shifts.append(rr)
+        from ..parallel.ksprod import build_sharded_ks, make_sharded_combo
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import jax
+        if not hasattr(self, "_shard_combo_fns"):
+            self._shard_combo_fns = {}
+        if nl not in self._shard_plans:
+            self._shard_plans[nl] = build_sharded_ks(ctx, nl, nshard)
+        plan = self._shard_plans[nl]
+        fkey = ("combo", nl, tuple(shifts))
+        if fkey not in self._shard_combo_fns:
+            gps = [ctx.galois_perm_factored(ctx.galois_t(r))
+                   for r in shifts]
+            self._shard_combo_fns[fkey] = make_sharded_combo(
+                mesh, plan, gps, n1=min(128, ctx.cfg.n))
+        scale = items[0][1].scale
+        for _, p in items:
+            assert abs(p.scale / scale - 1.0) < 1e-12
+        _COUNTS.count("combo_rot", len(items) * _nct(ct))
+        _COUNTS.count("keyswitch", _nct(ct))
+        idx = np.asarray(ctx.limb_idx(nl, specials=True))
+        pad = jnp.zeros((ctx.k_sp, ctx.cfg.n), jnp.uint32)
+        sh = NamedSharding(mesh, P("limb", None))
+        ksh = NamedSharding(mesh, P(None, None, "limb", None))
+        kbs = jnp.stack([(keys.rot.get(r) or
+                          keys.rot.get(r - slots)).b[:, idx, :]
+                         for r in shifts])
+        kas = jnp.stack([(keys.rot.get(r) or
+                          keys.rot.get(r - slots)).a[:, idx, :]
+                         for r in shifts])
+        o0, o1 = self._shard_combo_fns[fkey](
+            jax.device_put(jnp.concatenate([ct.c0, pad]), sh),
+            jax.device_put(jnp.concatenate([ct.c1, pad]), sh),
+            jax.device_put(kbs, ksh), jax.device_put(kas, ksh),
+            jnp.stack([p.lo for _, p in items]),
+            jnp.stack([p.hi for _, p in items]))
+        return Ciphertext(o0[:nl], o1[:nl], nl, ct.scale * scale)
 
     def baby_key_stack(self, shifts, nl: int):
         """Stacked (kb, ka) baby-rotation keys for `shifts` at level nl,
@@ -1390,7 +1459,9 @@ def _mod_down(x, ks):
     w = ma.shoup_mulmod(vp, ks.pfold, ks.pfold_s, ks.q_sp)
     v = _md_overflow(w, ks.mdq40)
     if basecvt.use_pallas() and ks.md.convp is not None:
-        y = basecvt.base_convert(vp, ks.md)[0]
+        # hand the kernel the ALREADY-FOLDED w (computed above for the
+        # overflow estimate) so the fold runs once per mod-down
+        y = basecvt.base_convert(w, ks.md, prefolded=True)[0]
     else:
         y = None
         for ti in range(w.shape[-2]):

@@ -109,8 +109,12 @@ def cmd_infer(args):
     emb = load_sample_embeddings(args.sample_dir)
     booter = None
     if p.bootstrap:
-        from .boot.bootstrap import Bootstrapper
-        booter = Bootstrapper(ev)
+        from .boot.bootstrap import Bootstrapper, BootConfig
+        # wide presets (config.py linformer-boot-w) pair with the
+        # paired-scale boot config
+        bc = BootConfig.wide_production() if p.name.endswith("-w") \
+            else None
+        booter = Bootstrapper(ev, bc)
     if args.packed:
         # block-major matrix-packed path (round-3 performance circuit);
         # keys must include the BSGS baby shifts (cmd_keygen generates
@@ -118,8 +122,11 @@ def cmd_infer(args):
         from .models.circuit_packed import PackedLinformer
         pc = PackedLinformer(ev, w, p.circuit, d=p.d)
         t0 = time.time()
+        # input_nl=12: the measured pre-exp chain depth (bench_layer.py) —
+        # 8 ran out inside the exp Taylor and leaned on the defensive
+        # pre-Taylor bootstrap (round-3 lesson)
         out = pc.forward(emb, boot=booter,
-                         input_nl=8 if p.bootstrap else None)
+                         input_nl=12 if p.bootstrap else None)
         logits = pc.decrypt_logits(out)
         cls, p_ = softmax_argmax(logits)
         print(json.dumps({"pred": cls, "prob": float(p_[cls]),

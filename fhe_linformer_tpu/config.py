@@ -77,6 +77,22 @@ _reg(Preset(
     bootstrap=True,
 ))
 
+# config 4w: the WIDE-bootstrap variant (round 4).  The boot's internal
+# pipeline runs at the paired ~2^52 working scale with the input scale
+# boosted toward q0 (BootConfig(wide=True, scale_boost=4)): single-pass
+# precision 10.8 bits at 2^12 vs 2.4 for the 2^26-scale pipeline
+# (tools/prec_probe.py) — the same mechanism as OpenFHE's 52-bit
+# ScalingModSize (FHEController.cpp:20-21), paid in chain length instead
+# of 64-bit limbs: the wide boot consumes ~35 limbs (measured), so the
+# chain grows to num_scaling=56 to keep ~20 usable levels after refresh.
+_reg(Preset(
+    name="linformer-boot-w",
+    desc="single-layer encrypted Linformer, wide (paired-scale) bootstrap",
+    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=56, dnum=3,
+                    secret_hw=32),
+    bootstrap=True,
+))
+
 # config 5: multi-layer end-to-end classification
 _reg(Preset(
     name="multi-layer",

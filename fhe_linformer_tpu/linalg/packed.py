@@ -245,7 +245,8 @@ class PackedOps:
     def bsgs_diag_transform(self, ct: Ciphertext,
                             diags: dict[int, np.ndarray],
                             bs: int, scale: float | None = None,
-                            double_rescale: bool = False) -> Ciphertext:
+                            double_rescale: bool = False,
+                            rescale_mode: str | None = None) -> Ciphertext:
         """y_i = sum_k diags[k][i] * x[(i+k) mod slots]: BSGS over an
         arbitrary sparse diagonal set (complex diagonals allowed).  Used by
         bootstrapping CtS/StC group matrices and any dense linear layer.
@@ -257,6 +258,16 @@ class PackedOps:
         drops from 2^-26 to ~2^-52 (costs one extra level; bootstrapping
         precision depends on this).
 
+        rescale_mode generalizes it for the WIDE-scale bootstrap pipeline
+        (boot/bootstrap.py wide mode — noise relative to a ~2^52 working
+        scale instead of 2^26):
+          "single" — pt at delta, drop 1 (the plain matmul path)
+          "double" — pt at qd*qd2, drop 2, scale out == scale in (exact)
+          "raise"  — pt at qd*qd2, drop 1: scale out = scale in * qd2,
+                     entering the paired working scale
+          "lower"  — pt at qd, drop 2: scale out = scale in / qd2,
+                     exiting the paired working scale
+
         Offsets are decomposed STRIDE-AWARE: k = stride*(g*bs + j) with
         stride = gcd of all offsets.  Grouped butterfly-stage matrices
         (bootstrapping CtS/StC) have offsets on coarse strides (multiples
@@ -266,8 +277,13 @@ class PackedOps:
         bootstrap)."""
         import os
         ev = self.ev
-        if double_rescale:
-            scale = float(ev.ctx.qs[ct.nl - 1]) * float(ev.ctx.qs[ct.nl - 2])
+        mode = rescale_mode or ("double" if double_rescale else "single")
+        qd = float(ev.ctx.qs[ct.nl - 1])
+        qd2 = float(ev.ctx.qs[ct.nl - 2]) if ct.nl >= 2 else 1.0
+        if mode in ("double", "raise"):
+            scale = qd * qd2
+        elif mode == "lower":
+            scale = qd
         else:
             scale = scale or ev.ctx.delta
         stride = self._diag_stride(diags.keys(), self.slots)
@@ -338,9 +354,14 @@ class PackedOps:
                 rot = ev.rotate(inner, g * bs * stride) if g else inner
                 acc = rot if acc is None else ev.add(acc, rot)
         acc = ev.rescale(acc)
-        if double_rescale:
+        if mode == "double":
             acc = ev.rescale(acc)
             acc.scale = ct.scale        # exact by construction
+        elif mode == "raise":
+            acc.scale = ct.scale * qd2  # qd cancelled by the one rescale
+        elif mode == "lower":
+            acc = ev.rescale(acc)
+            acc.scale = ct.scale / qd2
         return acc
 
     @staticmethod

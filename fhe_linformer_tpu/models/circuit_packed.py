@@ -38,10 +38,26 @@ from .circuit import CircuitParams, _stack, _stack_cat
 from .golden import LinformerWeights, client_preprocess
 
 
+def _mul_bc(ev, a, b):
+    """ct x ct multiply with BATCH broadcasting: align levels first (the
+    evaluator's own align only handles equal batch shapes), then broadcast
+    both operands to the common batch shape."""
+    import jax.numpy as jnp
+    nl = min(a.nl, b.nl)
+    a = ev.drop_to(a, nl)
+    b = ev.drop_to(b, nl)
+    shape = jnp.broadcast_shapes(a.c0.shape, b.c0.shape)
+    a = a.with_data(jnp.broadcast_to(a.c0, shape),
+                    jnp.broadcast_to(a.c1, shape))
+    b = b.with_data(jnp.broadcast_to(b.c0, shape),
+                    jnp.broadcast_to(b.c1, shape))
+    return ev.mul(a, b)
+
+
 class PackedLinformer:
     def __init__(self, ev: Evaluator, w: LinformerWeights,
                  params: CircuitParams | None = None, d: int | None = None,
-                 bs: int = 16):
+                 bs: int = 16, batch_chunks: bool = False):
         self.ev = ev
         self.w = w
         self.p = params or CircuitParams()
@@ -49,6 +65,14 @@ class PackedLinformer:
         self.bops = BlockOps(ev, self.d, bs=bs)
         self.ops = self.bops.ops
         self.g = Gadgets(ev)
+        # batch_chunks: run attention's per-chunk score/mix work as ONE
+        # (C, k, ...) batched op instead of a Python loop over chunks.
+        # This is the dp-sharded execution shape (parallel/circuit_packed):
+        # the chunk axis rides a `dp` mesh axis and XLA splits every stage
+        # across devices.  Single-chip default stays the loop (the batched
+        # form holds C*k_lin ciphertext intermediates at once — an HBM
+        # budget the shared dev chip doesn't have).
+        self.batch_chunks = batch_chunks
 
     # -- client-side input preparation ---------------------------------
 
@@ -83,16 +107,32 @@ class PackedLinformer:
         C = x_ct.c0.shape[0]
         mval = p.r / 8.0 if p.exp_pow8 else p.r
         mask = ops.mask_mod_n(d, value=mval)
-        scs = []
-        for c in range(C):
-            qc = Q.with_data(Q.c0[c], Q.c1[c])
-            prod = ev.mul(K_rep, qc)                       # (k, ...)
-            sc = ops.rotsum(prod, d, 1)                    # dot at lane 0
+        if self.batch_chunks and C > 1:
+            import jax.numpy as jnp
+            # ONE (C, k, ...) batched product: chunk axis first so a `dp`
+            # sharding on it propagates through every op below
+            Qb = Q.with_data(Q.c0[:, None], Q.c1[:, None])   # (C, 1, ...)
+            Kb = K_rep.with_data(K_rep.c0[None], K_rep.c1[None])
+            prod = _mul_bc(ev, Kb, Qb)                     # (C, k, ...)
+            sc = ops.rotsum(prod, d, 1)
             sc = ev.mul_plain(sc, ev.encode_cached(
                 ("score_mask", d, mval), mask, nl=sc.nl))
-            scs.append(ops.interleave_batch(sc, stride=1))  # lane u = row u
-        scores = _stack(scs)                               # (C, ...)
-        del Q, prod, sc, scs
+            # interleave merges axis 0 -> put the k axis first
+            sc = sc.with_data(jnp.moveaxis(sc.c0, 1, 0),
+                              jnp.moveaxis(sc.c1, 1, 0))
+            scores = ops.interleave_batch(sc, stride=1)    # (C, ...)
+            del Q, prod, sc, Qb, Kb
+        else:
+            scs = []
+            for c in range(C):
+                qc = Q.with_data(Q.c0[c], Q.c1[c])
+                prod = ev.mul(K_rep, qc)                   # (k, ...)
+                sc = ops.rotsum(prod, d, 1)                # dot at lane 0
+                sc = ev.mul_plain(sc, ev.encode_cached(
+                    ("score_mask", d, mval), mask, nl=sc.nl))
+                scs.append(ops.interleave_batch(sc, stride=1))
+            scores = _stack(scs)                           # (C, ...)
+            del Q, prod, sc, scs
 
         # depth after the Taylor: power raise (3 when pow8) + inverse +
         # mix/WO/affine tail (~6) — the conditional mid-exp refresh
@@ -117,14 +157,22 @@ class PackedLinformer:
         del scores, inv, ssum
 
         # value mix: out[t, i] = sum_u attn[t, u] v[u, i]
-        outs = []
-        for c in range(C):
-            ac = attn.with_data(attn.c0[c], attn.c1[c])
-            a_sp = bops.lane_rows_to_blocks(ac, k_lin)     # (k, ...)
-            prod = ev.mul(a_sp, V_rep)
-            outs.append(bops.reduce_batch(prod))
-        mixed = _stack(outs)                               # (C, ...)
-        del attn, outs, a_sp, prod, V_rep, K_rep
+        if self.batch_chunks and C > 1:
+            import jax.numpy as jnp
+            a_sp = bops.lane_rows_to_blocks(attn, k_lin)   # (k, C, ...)
+            Vb = V_rep.with_data(V_rep.c0[:, None], V_rep.c1[:, None])
+            prod = _mul_bc(ev, a_sp, Vb)
+            mixed = bops.reduce_batch(prod)                # (C, ...)
+            del attn, a_sp, prod, Vb, V_rep, K_rep
+        else:
+            outs = []
+            for c in range(C):
+                ac = attn.with_data(attn.c0[c], attn.c1[c])
+                a_sp = bops.lane_rows_to_blocks(ac, k_lin)  # (k, ...)
+                prod = ev.mul(a_sp, V_rep)
+                outs.append(bops.reduce_batch(prod))
+            mixed = _stack(outs)                           # (C, ...)
+            del attn, outs, a_sp, prod, V_rep, K_rep
 
         out = bops.matmul(mixed, w.WO, "WO", bias=w.BO)
         x_adj, out = ev.match(x_ct, out)

@@ -48,12 +48,16 @@ from .ntt_pallas import _digits_i8
 _TILE = 1024      # lanes per grid program
 
 
-def _kernel(nd, tgt, interpret, x_ref, fold_ref, fold_s_ref, gq_ref,
-            convp_ref, bias_ref, sh1_ref, p16_ref, p16_s_ref, qrow_ref,
-            out_ref):
+def _kernel(nd, tgt, interpret, prefolded, x_ref, fold_ref, fold_s_ref,
+            gq_ref, convp_ref, bias_ref, sh1_ref, p16_ref, p16_s_ref,
+            qrow_ref, out_ref):
     """One program: (G, nt) input tile -> (nd, tgt, nt) output tile."""
     x = x_ref[0]                                         # (G, nt)
-    w = ma.shoup_mulmod(x, fold_ref[...], fold_s_ref[...], gq_ref[...])
+    # prefolded: the caller already computed w = x*fold mod q (e.g. the
+    # mod-down, which needs w for its overflow estimate anyway) — don't
+    # fold twice (ADVICE r3)
+    w = x if prefolded else \
+        ma.shoup_mulmod(x, fold_ref[...], fold_s_ref[...], gq_ref[...])
     wd = _digits_i8(w, 0)                                # (XDIG8*G, nt) s8
     if interpret:                                        # XLA:CPU: s32 dot
         wd = wd.astype(jnp.int32)
@@ -74,9 +78,10 @@ def _kernel(nd, tgt, interpret, x_ref, fold_ref, fold_s_ref, gq_ref,
     out_ref[0] = y.reshape(nd, tgt, y.shape[-1])
 
 
-def base_convert(x, bc, interpret: bool = False):
+def base_convert(x, bc, interpret: bool = False, prefolded: bool = False):
     """x: (..., G, N) u32 with G = bc.nd * alpha (zero-padded rows allowed).
-    bc: ckks.context.BCTables.  Returns (nd, ..., tgt, N) u32."""
+    bc: ckks.context.BCTables.  Returns (nd, ..., tgt, N) u32.
+    prefolded=True: x is already the folded operand w = x*fold mod q."""
     lead = x.shape[:-2]
     G, n = x.shape[-2], x.shape[-1]
     nd = bc.nd
@@ -93,7 +98,7 @@ def base_convert(x, bc, interpret: bool = False):
     row = full((G, 1))
     rrow = full((R, 1))
     out = pl.pallas_call(
-        functools.partial(_kernel, nd, tgt, interpret),
+        functools.partial(_kernel, nd, tgt, interpret, prefolded),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, G, nt), lambda b, c: (b, 0, c),

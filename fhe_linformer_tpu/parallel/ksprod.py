@@ -19,8 +19,11 @@ the extended basis rows (nl active q + k specials) block-sharded:
 
 Collectives ride the `limb` axis only — the north-star layout
 (BASELINE.json: "rotation/key-switch partial sums via psum").  The result
-is BIT-EXACT vs the single-device Evaluator.rotate: every step is exact
-modular arithmetic, so operation order does not matter.
+is BIT-EXACT vs the single-device Evaluator.rotate: the modular steps are
+exact u32 arithmetic (order-free), and the mod-down's f32 overflow
+estimate (evaluator._md_overflow) is grouping-invariant BY CONSTRUCTION —
+its partial sums are exact u32 16-bit planes (psum'd exactly here) and
+the single f32 combine is the identical final expression on both paths.
 
 The reference has no distributed anything (SURVEY.md §2.5) — this file is
 pure new TPU-native design.
@@ -185,6 +188,55 @@ def build_sharded_ks(ctx, nl: int, nshard: int) -> ShardedKSPlan:
     )
 
 
+def _sharded_mod_down(acc, radd, plan: ShardedKSPlan, tbl, lo, per, q_l,
+                      sl):
+    """Step 6 of the sharded key switch: P -> Q mod-down of one extended
+    accumulator (rows sharded over `limb`), with the centered overflow
+    correction — shared by the sharded galois and the sharded combo.
+    `radd` (or None) is added to the active rows of the result."""
+    vp = ma.shoup_mulmod(ntt_inv(acc, tbl), sl(plan.pfold),
+                         sl(plan.pfold_s), q_l)   # active rows -> 0
+    # overflow estimate v = round(sum_t vp_t/p_t): exact-integer 16-bit
+    # planes, identical grouping math to evaluator._md_overflow
+    # (bit-exact under any sharding)
+    m_l = sl(plan.mdq40)                          # 0 on active rows
+    ov_a = (vp & jnp.uint32(0xFFFF)) * m_l
+    ov_b = (vp >> jnp.uint32(16)) * m_l
+    ov_al = jnp.sum(ov_a & jnp.uint32(0xFFFF), axis=0, keepdims=True)
+    ov_hb = jnp.sum((ov_a >> jnp.uint32(16)) + ov_b, axis=0,
+                    keepdims=True)
+    ov_al, ov_hb = jax.lax.psum((ov_al, ov_hb), "limb")
+    vcorr = jnp.round(
+        ov_al.astype(jnp.float32) * (2.0 ** -40)
+        + ov_hb.astype(jnp.float32) * (2.0 ** -24)).astype(jnp.uint32)
+    tm = ma.shoup_mulmod(vp[:, None, :], sl(plan.pconv)[:, :, None],
+                         sl(plan.pconv_s)[:, :, None],
+                         plan.q_act_row[None])    # (per, nl, N)
+    l16 = jnp.zeros(tm.shape[1:], jnp.uint32)
+    h16 = jnp.zeros(tm.shape[1:], jnp.uint32)
+    for t in range(per):
+        a, b = _split16(tm[t])
+        l16 = l16 + a
+        h16 = h16 + b
+    yq = _psum_mod((l16, h16), plan.q_act_row,
+                   (plan.a16, plan.a16_s), "limb")  # (nl, N) replicated
+    # local active rows of yq: rows [lo, lo+per) that are < nl
+    pad = jnp.zeros((plan.k_sp, yq.shape[-1]), jnp.uint32)
+    yq_ext = jnp.concatenate([yq, pad], axis=0)
+    yq_l = jax.lax.dynamic_slice_in_dim(yq_ext, lo, per, 0)
+    # coefficient-domain overflow correction: yq -= v*P, making
+    # (acc - yq)/P the ROUNDED division (pmod is 0 on special rows)
+    yq_l = ma.submod(yq_l, ma.shoup_mulmod(
+        vcorr, sl(plan.pmod), sl(plan.pmod_s), q_l), q_l)
+    y_e2 = ntt_fwd(yq_l, tbl)
+    diff = ma.submod(acc, y_e2, q_l)
+    out = ma.shoup_mulmod(diff, sl(plan.pinv), sl(plan.pinv_s), q_l)
+    out = out * sl(plan.rowmask)             # zero special rows
+    if radd is not None:
+        out = ma.addmod(out, radd * sl(plan.rowmask), q_l)
+    return out
+
+
 def make_sharded_galois(mesh: Mesh, plan: ShardedKSPlan, gp):
     """Jitted SPMD rotate: (c0_ext, c1_ext, kb, ka) -> (r0 + k0, k1) with
     limbs sharded over `limb`.  c*_ext are (T, N) arrays over the extended
@@ -233,51 +285,8 @@ def make_sharded_galois(mesh: Mesh, plan: ShardedKSPlan, gp):
             acc0 = ma.addmod(acc0, t0[j], q_l)
             acc1 = ma.addmod(acc1, t1[j], q_l)
         # 6. mod-down: special rows -> active rows (second psum)
-        outs = []
-        for acc, radd in ((acc0, r0), (acc1, None)):
-            vp = ma.shoup_mulmod(ntt_inv(acc, tbl), sl(pl.pfold),
-                                 sl(pl.pfold_s), q_l)   # active rows -> 0
-            # overflow estimate v = round(sum_t vp_t/p_t): exact-integer
-            # 16-bit planes, identical grouping math to the single-device
-            # evaluator._md_overflow (bit-exact under any sharding)
-            m_l = sl(pl.mdq40)                          # 0 on active rows
-            ov_a = (vp & jnp.uint32(0xFFFF)) * m_l
-            ov_b = (vp >> jnp.uint32(16)) * m_l
-            ov_al = jnp.sum(ov_a & jnp.uint32(0xFFFF), axis=0, keepdims=True)
-            ov_hb = jnp.sum((ov_a >> jnp.uint32(16)) + ov_b, axis=0,
-                            keepdims=True)
-            ov_al, ov_hb = jax.lax.psum((ov_al, ov_hb), "limb")
-            vcorr = jnp.round(
-                ov_al.astype(jnp.float32) * (2.0 ** -40)
-                + ov_hb.astype(jnp.float32) * (2.0 ** -24)).astype(jnp.uint32)
-            tm = ma.shoup_mulmod(vp[:, None, :], sl(pl.pconv)[:, :, None],
-                                 sl(pl.pconv_s)[:, :, None],
-                                 pl.q_act_row[None])    # (per, nl, N)
-            l16 = jnp.zeros(tm.shape[1:], jnp.uint32)
-            h16 = jnp.zeros(tm.shape[1:], jnp.uint32)
-            for t in range(per):
-                a, b = _split16(tm[t])
-                l16 = l16 + a
-                h16 = h16 + b
-            yq = _psum_mod((l16, h16), pl.q_act_row,
-                           (pl.a16, pl.a16_s), "limb")  # (nl, N) replicated
-            # local active rows of yq: rows [lo, lo+per) that are < nl
-            pad = jnp.zeros((plan.k_sp, yq.shape[-1]), jnp.uint32)
-            yq_ext = jnp.concatenate([yq, pad], axis=0)
-            yq_l = jax.lax.dynamic_slice_in_dim(yq_ext, lo, per, 0)
-            # coefficient-domain overflow correction: yq -= v*P, making
-            # (acc - yq)/P the ROUNDED division (pmod is 0 on special
-            # rows, so pads stay zero)
-            yq_l = ma.submod(yq_l, ma.shoup_mulmod(
-                vcorr, sl(pl.pmod), sl(pl.pmod_s), q_l), q_l)
-            y_e2 = ntt_fwd(yq_l, tbl)
-            diff = ma.submod(acc, y_e2, q_l)
-            out = ma.shoup_mulmod(diff, sl(pl.pinv), sl(pl.pinv_s), q_l)
-            out = out * sl(pl.rowmask)             # zero special rows
-            if radd is not None:
-                out = ma.addmod(out, radd * sl(pl.rowmask), q_l)
-            outs.append(out)
-        return outs[0], outs[1]
+        return (_sharded_mod_down(acc0, r0, pl, tbl, lo, per, q_l, sl),
+                _sharded_mod_down(acc1, None, pl, tbl, lo, per, q_l, sl))
 
     sm = shard_map(
         partial(local, pl=plan), mesh=mesh,
@@ -349,3 +358,186 @@ def sharded_rotate_parity_check(mesh: Mesh, n: int = 2048,
     out = ct.with_data(jnp.asarray(got0), jnp.asarray(got1))
     dec = np.real(np.asarray(ev.decrypt(out)))
     return float(np.max(np.abs(dec - np.roll(z, -rot))))
+
+
+def make_sharded_combo(mesh: Mesh, plan: ShardedKSPlan, gps, n1: int):
+    """Jitted SPMD double-hoisted rotation combo: sum_j pt_j * rot_j(ct)
+    with ONE digit decomposition and ONE deferred mod-down — the
+    limb-sharded form of Evaluator.rotate_combo (the engine under every
+    BSGS matmul / bootstrap transform).  Per device, with extended-basis
+    rows block-sharded over `limb`:
+
+      1. decompose ONCE: local iNTT + fold, ONE plane-psum base
+         conversion, local NTT of the device's digit rows
+      2. per rotation (lax.scan): Galois permutation (N-axis only — row-
+         local), local key inner products, local plaintext expansion from
+         the replicated (lo, hi) coefficient planes, accumulation
+      3. ONE sharded mod-down pair (second plane-psum) + the c0 q-part
+
+    gps: list of GaloisPerm for the rotation shifts (host-static).
+    Inputs: c0_ext/c1_ext (T, N) with zero special rows; kb/ka
+    (R, nd, T, N) stacked baby keys; los (R, N) u32 / his (R, N) i32
+    plaintext coefficient planes.  Returns (o0, o1) over (T, N) with
+    zero special rows."""
+    from ..ckks.evaluator import _apply_gperm
+    from ..ckks.context import GaloisPerm as GP
+    nshard = mesh.shape["limb"]
+    per = plan.per
+    T = plan.nl + plan.k_sp
+
+    gammas = jnp.stack([g.gamma for g in gps])
+    bitss = jnp.stack([g.bits for g in gps])
+    rowmaps = jnp.stack([g.rowmap for g in gps])
+
+    def local(c0_l, c1_l, kbs_l, kas_l, los, his, pl: ShardedKSPlan):
+        idx = jax.lax.axis_index("limb")
+        lo = idx * per
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lo, per, 0)
+        tbl = _slice_tables(pl.tables, lo, per)
+        q_l = sl(pl.gq_full)
+        mu_l = sl(pl.mu_full)
+        sh_l = sl(pl.sh_full)
+        n = c0_l.shape[-1]
+        # 1. hoisted decomposition (once)
+        w = ma.shoup_mulmod(ntt_inv(c1_l, tbl), sl(pl.fold),
+                            sl(pl.fold_s), q_l)
+        conv_l = sl(pl.conv)[:, :, None]
+        conv_s_l = sl(pl.conv_s)[:, :, None]
+        terms = ma.shoup_mulmod(w[:, None, :], conv_l, conv_s_l,
+                                pl.q_row[None])
+        lo16 = jnp.zeros(terms.shape[1:], jnp.uint32)
+        hi16 = jnp.zeros(terms.shape[1:], jnp.uint32)
+        for t in range(per):
+            a, b = _split16(terms[t])
+            lo16 = lo16 + a
+            hi16 = hi16 + b
+        y = _psum_mod((lo16, hi16), pl.q_row, (pl.p16, pl.p16_s), "limb")
+        yd = y.reshape(pl.nd, T, n)
+        yd_l = jax.lax.dynamic_slice_in_dim(yd, lo, per, 1)
+        y_e = ntt_fwd(yd_l, tbl)                  # (nd, per, N)
+        # local 2^32 mod q (for the two-plane pt spread)
+        p16v = (jnp.uint32(1) << 16) % q_l
+        p32v = ma.barrett_mulmod(p16v, p16v, q_l, mu_l, sh_l)
+
+        def body(carry, xs):
+            a0q, a0e, a1e = carry
+            gamma, bits, rowmap, kb, ka, plo, phi = xs
+            gp = GP(gamma, bits, rowmap)
+            c0p = _apply_gperm(c0_l, gp)
+            yp = _apply_gperm(y_e, gp)
+            t0 = ma.barrett_mulmod(yp, kb, q_l, mu_l, sh_l)
+            t1 = ma.barrett_mulmod(yp, ka, q_l, mu_l, sh_l)
+            s0 = t0[0]
+            s1 = t1[0]
+            for j in range(1, pl.nd):
+                s0 = ma.addmod(s0, t0[j], q_l)
+                s1 = ma.addmod(s1, t1[j], q_l)
+            # plaintext expansion on the LOCAL rows: v = hi*2^32 + lo
+            hi_r = jnp.remainder(phi[None, :],
+                                 q_l.astype(jnp.int32)).astype(jnp.uint32)
+            lo_r = plo[None, :] % q_l
+            res = ma.addmod(ma.barrett_mulmod(hi_r, p32v, q_l, mu_l, sh_l),
+                            lo_r, q_l)
+            pt = ntt_fwd(res, tbl)                # (per, N) eval rows
+            a0q = ma.addmod(a0q, ma.barrett_mulmod(
+                c0p, pt, q_l, mu_l, sh_l), q_l)
+            a0e = ma.addmod(a0e, ma.barrett_mulmod(s0, pt, q_l, mu_l,
+                                                   sh_l), q_l)
+            a1e = ma.addmod(a1e, ma.barrett_mulmod(s1, pt, q_l, mu_l,
+                                                   sh_l), q_l)
+            return (a0q, a0e, a1e), None
+
+        z = jnp.zeros((per, n), jnp.uint32)
+        (a0q, a0e, a1e), _ = jax.lax.scan(
+            body, (z, z, z), (gammas, bitss, rowmaps, kbs_l, kas_l,
+                              los, his))
+        # one deferred mod-down pair; a0q rides in as the q-basis addend
+        return (_sharded_mod_down(a0e, a0q, pl, tbl, lo, per, q_l, sl),
+                _sharded_mod_down(a1e, None, pl, tbl, lo, per, q_l, sl))
+
+    sm = shard_map(
+        partial(local, pl=plan), mesh=mesh,
+        in_specs=(P("limb", None), P("limb", None),
+                  P(None, None, "limb", None), P(None, None, "limb", None),
+                  P(None, None), P(None, None)),
+        out_specs=(P("limb", None), P("limb", None)),
+        check_rep=False,
+    )
+    return jax.jit(sm)
+
+
+def sharded_combo_parity_check(mesh: Mesh, n: int = 2048,
+                               num_scaling: int = 11, dnum: int = 3,
+                               shifts=(1, 2, 3),
+                               via_evaluator: bool = False) -> float:
+    """Run the limb-sharded rotation combo and assert BIT-EXACT parity vs
+    the single-device Evaluator.rotate_combo (same decompose-once +
+    deferred-mod-down semantics).  Returns max abs decrypted-slot error vs
+    the plaintext combination as a secondary sanity value.
+
+    For the production ring call with n=2**15, num_scaling=23 (24 active
+    + 8 special rows, tiling 4- and 8-way limb meshes)."""
+    from ..ckks import CKKSConfig, Context, Evaluator, generate_keys
+
+    nshard = mesh.shape["limb"]
+    cfg = CKKSConfig(n=n, scale_bits=26, num_scaling=num_scaling, dnum=dnum,
+                     seed=78)
+    ctx = Context(cfg)
+    nl = ctx.num_q
+    T = nl + ctx.k_sp
+    assert T % nshard == 0, (T, nshard)
+    keys = generate_keys(ctx, rotations=tuple(shifts))
+    ev = Evaluator(ctx, keys)
+    rng = np.random.default_rng(6)
+    z = rng.uniform(-1, 1, cfg.slots)
+    ct = ev.encrypt(z)
+
+    items = []
+    want_slots = np.zeros(cfg.slots)
+    for i, r in enumerate(shifts):
+        d = rng.uniform(-1, 1, cfg.slots)
+        items.append((r, ev.encode_coeff_cached(("combo_par", i), d)))
+        want_slots = want_slots + d * np.roll(z, -r)
+
+    want = ev.rotate_combo(ct, items)             # single-device reference
+
+    if via_evaluator:
+        # PRODUCTION wiring: enable_sharded_ks routes rotate_combo itself
+        # through make_sharded_combo (the op surface the BSGS matmuls and
+        # bootstrap transforms call)
+        ev.enable_sharded_ks(mesh)
+        got = ev.rotate_combo(ct, items)
+        ev._shard_mesh = None
+        got0 = np.asarray(got.c0)
+        got1 = np.asarray(got.c1)
+        np.testing.assert_array_equal(got0, np.asarray(want.c0))
+        np.testing.assert_array_equal(got1, np.asarray(want.c1))
+        out = ev.rescale(want.with_data(jnp.asarray(got0),
+                                        jnp.asarray(got1)))
+        dec = np.real(np.asarray(ev.decrypt(out)))
+        return float(np.max(np.abs(dec - want_slots)))
+
+    plan = build_sharded_ks(ctx, nl, nshard)
+    gps = [ctx.galois_perm_factored(ctx.galois_t(r)) for r in shifts]
+    fn = make_sharded_combo(mesh, plan, gps, n1=min(128, n))
+    idx = np.asarray(ctx.limb_idx(nl, specials=True))
+    pad = jnp.zeros((ctx.k_sp, n), jnp.uint32)
+    from ..parallel.mesh import limb_sharding
+    sh = limb_sharding(mesh)
+    ksh = NamedSharding(mesh, P(None, None, "limb", None))
+    kbs = jnp.stack([keys.rot[r].b[:, idx, :] for r in shifts])
+    kas = jnp.stack([keys.rot[r].a[:, idx, :] for r in shifts])
+    los = jnp.stack([p.lo for _, p in items])
+    his = jnp.stack([p.hi for _, p in items])
+    o0, o1 = fn(jax.device_put(jnp.concatenate([ct.c0, pad]), sh),
+                jax.device_put(jnp.concatenate([ct.c1, pad]), sh),
+                jax.device_put(kbs, ksh), jax.device_put(kas, ksh),
+                los, his)
+    got0 = np.asarray(o0)[:nl]
+    got1 = np.asarray(o1)[:nl]
+    np.testing.assert_array_equal(got0, np.asarray(want.c0))
+    np.testing.assert_array_equal(got1, np.asarray(want.c1))
+    out = want.with_data(jnp.asarray(got0), jnp.asarray(got1))
+    out = ev.rescale(out)
+    dec = np.real(np.asarray(ev.decrypt(out)))
+    return float(np.max(np.abs(dec - want_slots)))

@@ -43,8 +43,41 @@ def _combine_core(c0s, c1s, w, ws, q):
 
 
 class PolyEvaluator:
-    def __init__(self, ev: Evaluator):
+    """wide=True runs ct x ct chains at the PAIRED working scale
+    (~delta^2 = 2^52): every product drops TWO limbs and every scale
+    normalization targets delta^2.  The per-op crypto noise (~300 coeff
+    units: fresh/keyswitch noise, scale-independent) then sits at 2^-43
+    relative instead of 2^-17 — the structural fix for the bootstrap
+    EvalMod chain, whose slope amplification of 2^26-scale noise set the
+    0.8-bit production precision ceiling (ROADMAP round-3 decomposition;
+    OpenFHE gets the same effect from 52-bit ScalingModSize,
+    FHEController.cpp:20-21).  Costs 2 limbs per multiplicative level."""
+
+    def __init__(self, ev: Evaluator, wide: bool = False):
         self.ev = ev
+        self.wide = wide
+
+    @property
+    def anchor(self) -> float:
+        d = self.ev.ctx.delta
+        return d * d if self.wide else d
+
+    def _mul(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        ev = self.ev
+        if not self.wide:
+            return ev.mul(a, b)
+        out = ev.mul(a, b, rescale=False)
+        return ev.rescale(ev.rescale(out))
+
+    def _match(self, a: Ciphertext, b: Ciphertext):
+        """ev.match, but the equal-level reconciliation lands on the
+        anchor scale (ev.match hard-codes delta there)."""
+        ev = self.ev
+        if a.nl == b.nl and abs(a.scale / b.scale - 1.0) >= 1e-9:
+            nl = a.nl - 1
+            s = self.anchor
+            return ev.adjust(a, nl, s), ev.adjust(b, nl, s)
+        return ev.match(a, b)
 
     # ------------------------------------------------------------------
     # linear combination with exact (nl, scale) targeting
@@ -65,7 +98,7 @@ class PolyEvaluator:
         assert terms, "empty combination"
         nl_c = min(ct.nl for ct, _ in terms) if out_nl is None else out_nl + 1
         out_nl = nl_c - 1
-        out_scale = out_scale or ev.ctx.delta
+        out_scale = out_scale or self.anchor
         qd = float(ev.ctx.qs[out_nl])
         ctx = ev.ctx
         limbs = ctx.limb_idx(nl_c)
@@ -107,12 +140,11 @@ class PolyEvaluator:
 
     def power_basis(self, x: Ciphertext, k: int) -> dict[int, Ciphertext]:
         """x^1..x^k via binary products (depth ceil(log2 k))."""
-        ev = self.ev
         pows = {1: x}
         for i in range(2, k + 1):
             a = i // 2
             b = i - a
-            pows[i] = ev.mul(pows[a], pows[b])
+            pows[i] = self._mul(pows[a], pows[b])
         return pows
 
     def eval_poly(self, x: Ciphertext, coeffs) -> Ciphertext:
@@ -122,8 +154,8 @@ class PolyEvaluator:
         deg = len(coeffs) - 1
         assert deg >= 1
         ev = self.ev
-        if abs(math.log2(x.scale / ev.ctx.delta)) > 0.02:
-            x = ev.adjust(x, x.nl - 1, ev.ctx.delta)
+        if abs(math.log2(x.scale / self.anchor)) > 0.02:
+            x = ev.adjust(x, x.nl - 1, self.anchor)
         pows = self.power_basis(x, deg)
         terms = [(pows[i], coeffs[i]) for i in range(1, deg + 1)]
         return self.combine(terms, coeffs[0])
@@ -140,8 +172,8 @@ class PolyEvaluator:
         drift in log-scale), so a fraction of a bit at entry becomes tens
         of bits at high degree and overflows the tracked-scale arithmetic."""
         ev = self.ev
-        if abs(math.log2(y.scale / ev.ctx.delta)) > 0.02:
-            y = ev.adjust(y, y.nl - 1, ev.ctx.delta)
+        if abs(math.log2(y.scale / self.anchor)) > 0.02:
+            y = ev.adjust(y, y.nl - 1, self.anchor)
         coeffs = np.asarray(coeffs, np.float64)
         deg = len(coeffs) - 1
         k = max(2, 1 << int(math.ceil(math.log2(max(deg, 2)) / 2)))
@@ -149,18 +181,18 @@ class PolyEvaluator:
         # T_{2i} = 2 T_i^2 - 1 ; T_{i+j} = 2 T_i T_j - T_{i-j}
         for i in range(2, k + 1):
             a, b = i // 2, i - i // 2
-            prod = ev.mul(babies[a], babies[b])
+            prod = self._mul(babies[a], babies[b])
             prod = ev.mul_scalar_int(prod, 2)
             if a == b:
                 t = ev.add_plain(prod, ev.encode_const(-1.0, prod.nl, prod.scale))
             else:
-                prod, tm = ev.match(prod, babies[b - a])
+                prod, tm = self._match(prod, babies[b - a])
                 t = ev.sub(prod, tm)
             babies[i] = t
         giants = {k: babies[k]}
         m = k
         while m < deg:
-            g = ev.mul(giants[m], giants[m])
+            g = self._mul(giants[m], giants[m])
             g = ev.mul_scalar_int(g, 2)
             g = ev.add_plain(g, ev.encode_const(-1.0, g.nl, g.scale))
             giants[2 * m] = g
@@ -180,10 +212,10 @@ class PolyEvaluator:
             while 2 * m <= d:
                 m *= 2
             q, r = cheb_divmod(c, m)
-            left = ev.mul(rec_or_const(q), giants[m])
+            left = self._mul(rec_or_const(q), giants[m])
             if np.any(r != 0.0):
                 right = rec(np.asarray(r))
-                left, right = ev.match(left, right)
+                left, right = self._match(left, right)
                 return ev.add(left, right)
             return left
 
@@ -201,8 +233,8 @@ class PolyEvaluator:
         # result (bootstrapping's double-angle loop) would square that
         # drift doubly-exponentially — measured blowing past 2^62 within
         # 3 double angles.  One conditional level here bounds it.
-        if out.nl > 1 and abs(math.log2(out.scale / ev.ctx.delta)) > 0.25:
-            out = ev.adjust(out, out.nl - 1, ev.ctx.delta)
+        if out.nl > 1 and abs(math.log2(out.scale / self.anchor)) > 0.25:
+            out = ev.adjust(out, out.nl - 1, self.anchor)
         return out
 
     def eval_chebyshev_function(self, f, ct: Ciphertext, a: float, b: float,

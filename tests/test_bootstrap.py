@@ -85,3 +85,30 @@ def test_bootstrap_batch_chunking(boot_setup, monkeypatch):
     b = np.real(np.asarray(ev.decrypt(chunked)))
     np.testing.assert_allclose(b, m, atol=2e-2)
     np.testing.assert_allclose(a, b, atol=2e-2)
+
+
+def test_bootstrap_wide(boot_setup):
+    """Round-4 wide (paired-scale) + scale-boost bootstrap: the internal
+    pipeline at ~delta^2 with s_in boosted toward q0.  Must beat the
+    narrow single pass by several bits (the structural precision fix —
+    ROADMAP round-3 decomposition; 10.8 vs 2.4 bits at 2^12)."""
+    ev, booter = boot_setup
+    from fhe_linformer_tpu.utils.timing import approx_error_log2
+    cfg_w = BootConfig(level_budget=(2, 2), K=8, sin_degree=119,
+                       double_angles=1, wide=True, scale_boost=4)
+    bw = Bootstrapper(ev, cfg_w)
+    rng = np.random.default_rng(9)
+    m = rng.uniform(-0.9, 0.9, CFG.slots)
+    low = ev.drop_to(ev.encrypt(m), 1)
+    narrow = np.real(np.asarray(ev.decrypt(booter.bootstrap(low))))
+    wide = np.real(np.asarray(ev.decrypt(bw.bootstrap(low))))
+    pn = approx_error_log2(m, narrow)
+    pw = approx_error_log2(m, wide)
+    # at n=256 the EvalMod math floor (~9 bits at this tiny K/da config)
+    # caps the visible gain; the full separation (2.4 -> 10.8 bits) shows
+    # at 2^12+ where crypto noise dominates (tools/prec_probe.py)
+    assert pw > pn + 1.0 and pw > 8.5, \
+        f"wide boot not more precise: {pn} -> {pw}"
+    # refresh() defaults to the single pass under a wide config
+    out = bw.refresh(low)
+    assert out.nl >= 1

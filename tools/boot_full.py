@@ -36,13 +36,17 @@ def main(batch: int = 4):
     from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
     from fhe_linformer_tpu.utils.timing import approx_error_log2
 
-    preset = get("linformer-boot")
+    # FHE_WIDE_BOOT=0 opts back into the round-3 narrow pipeline; the
+    # default is the round-4 wide (paired-scale) bootstrap with the
+    # longer chain it needs (preset linformer-boot-w)
+    wide = os.environ.get("FHE_WIDE_BOOT", "1") == "1"
+    preset = get("linformer-boot-w" if wide else "linformer-boot")
     t0 = time.time()
     ctx = Context(preset.ckks)
     print(f"context {time.time()-t0:.1f}s  n={ctx.cfg.n} num_q={ctx.num_q} "
-          f"k_sp={ctx.k_sp}", flush=True)
+          f"k_sp={ctx.k_sp} wide={wide}", flush=True)
 
-    cfg = BootConfig()
+    cfg = BootConfig(wide=True, scale_boost=4) if wide else BootConfig()
     rots = Bootstrapper.rotations_for(ctx.cfg.n, cfg)
     print(f"boot rotations needed: {len(rots)}", flush=True)
     t0 = time.time()
@@ -65,7 +69,9 @@ def main(batch: int = 4):
     results = {"bootstrap_ring": ctx.cfg.n, "bootstrap_slots": ctx.cfg.slots,
                "bootstrap_level_budget": list(cfg.level_budget),
                "bootstrap_num_q": ctx.num_q,
-               "bootstrap_rotation_keys": len(rots)}
+               "bootstrap_rotation_keys": len(rots),
+               "bootstrap_wide": cfg.wide,
+               "bootstrap_scale_boost": cfg.scale_boost}
 
     def hbm(tag):
         try:

@@ -21,10 +21,16 @@ def main(nlog=12, ba=3, bb=3):
     from fhe_linformer_tpu.boot.bootstrap import Bootstrapper, BootConfig
     from fhe_linformer_tpu.utils.timing import approx_error_log2
 
-    cfg = CKKSConfig(n=1 << nlog, scale_bits=26, num_scaling=44, dnum=3,
+    # PROBE_WIDE=1: paired working scale inside EvalMod (BootConfig.wide);
+    # PROBE_BOOST=f: input scale boost toward q0; PROBE_NS: chain length
+    wide = os.environ.get("PROBE_WIDE") == "1"
+    boost = int(os.environ.get("PROBE_BOOST", "1"))
+    ns = int(os.environ.get("PROBE_NS", "44"))
+    cfg = CKKSConfig(n=1 << nlog, scale_bits=26, num_scaling=ns, dnum=3,
                      seed=11, secret_hw=32)
     ctx = Context(cfg)
-    bcfg = BootConfig(level_budget=(ba, bb))
+    bcfg = BootConfig(level_budget=(ba, bb), wide=wide, scale_boost=boost)
+    print(f"wide={wide} boost={boost} num_scaling={ns}", flush=True)
     rots = Bootstrapper.rotations_for(cfg.n, bcfg)
     t0 = time.time()
     keys = generate_keys(ctx, rotations=rots, conj=True)
@@ -51,7 +57,6 @@ def main(nlog=12, ba=3, bb=3):
           f"p99 {np.percentile(np.abs(err), 99):.2e} "
           f"max {np.abs(err).max():.2e} | linear-in-m coeff {fit:.2e} "
           f"resid max {np.abs(resid).max():.2e}", flush=True)
-    import os
     if os.environ.get("PROBE_BOOT2"):
         out2 = booter.bootstrap2(low)
         got2 = np.real(np.asarray(ev.decrypt(out2)))
