@@ -154,10 +154,11 @@ def main():
         for _ in range(REPEATS):
             dt_step, tr1 = _marginal(rot_chain, 1, 17)
             samples.append(KSB / dt_step)
-            # adaptive: keep the >=1 sample already taken; stop repeating
-            # when the budget runs short (warm repeats are cheap, but the
-            # first marginal may have eaten minutes of remote compiles)
-            if _left() < 60 and samples:
+            # adaptive: warm repeats cost a few seconds each (the first
+            # marginal ate the compiles), so only stop early when the
+            # budget is nearly gone — round 3's 60 s threshold silently
+            # degraded the headline to n=1 while claiming median-of-5
+            if _left() < (5 if len(samples) < 3 else 15):
                 break
         samples.sort()
         ks_per_s = samples[len(samples) // 2]

@@ -161,16 +161,27 @@ def main_packed(S=128, boot=True):
         ks0 = GLOBAL_TIMERS.counts["keyswitch"]
         cr0 = GLOBAL_TIMERS.counts["combo_rot"]
         b0 = GLOBAL_TIMERS.counts["bootstrap"]
-        t0 = time.time()
-        out2 = f(*a, **k)
-        out2.c0.block_until_ready()
-        t_warm = time.time() - t0
+        # FHE_STAGE_REPS warm samples (default 2): single warm numbers on
+        # the tunneled chip showed unexplained 1.0 s vs 36.5 s swings on
+        # identical code (round-3 pooler); report the MEDIAN + samples so
+        # layer totals stop inheriting one-off stalls
+        reps = max(1, int(os.environ.get("FHE_STAGE_REPS", "2")))
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            out2 = f(*a, **k)
+            out2.c0.block_until_ready()
+            samples.append(time.time() - t0)
+            if _ < reps - 1:
+                out2 = None
+        t_warm = float(np.median(samples))
         results[name] = round(t_warm, 3)
+        results[f"{name}_samples"] = [round(s, 3) for s in samples]
         results[f"{name}_keyswitches"] = \
-            GLOBAL_TIMERS.counts["keyswitch"] - ks0
+            (GLOBAL_TIMERS.counts["keyswitch"] - ks0) // reps
         results[f"{name}_combo_rots"] = \
-            GLOBAL_TIMERS.counts["combo_rot"] - cr0
-        nb_ = GLOBAL_TIMERS.counts["bootstrap"] - b0
+            (GLOBAL_TIMERS.counts["combo_rot"] - cr0) // reps
+        nb_ = (GLOBAL_TIMERS.counts["bootstrap"] - b0) // reps
         if nb_:
             results[f"{name}_bootstraps"] = nb_
         print(f"{name}: first {t_first:.1f}s warm {t_warm:.2f}s "
@@ -330,13 +341,21 @@ def main(S=128, boot=False, num_scaling=44, full=True):
         out = None          # don't hold two S-sized outputs during rerun
         ks0 = GLOBAL_TIMERS.counts["keyswitch"]
         b0 = GLOBAL_TIMERS.counts["bootstrap"]
-        t0 = time.time()
-        out2 = f(*a, **k)
-        out2.c0.block_until_ready()
-        t_warm = time.time() - t0
+        reps = max(1, int(os.environ.get("FHE_STAGE_REPS", "2")))
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            out2 = f(*a, **k)
+            out2.c0.block_until_ready()
+            samples.append(time.time() - t0)
+            if _ < reps - 1:
+                out2 = None
+        t_warm = float(np.median(samples))
         results[name] = round(t_warm, 3)
-        results[f"{name}_keyswitches"] = GLOBAL_TIMERS.counts["keyswitch"] - ks0
-        nb = GLOBAL_TIMERS.counts["bootstrap"] - b0
+        results[f"{name}_samples"] = [round(s, 3) for s in samples]
+        results[f"{name}_keyswitches"] = \
+            (GLOBAL_TIMERS.counts["keyswitch"] - ks0) // reps
+        nb = (GLOBAL_TIMERS.counts["bootstrap"] - b0) // reps
         if nb:
             results[f"{name}_bootstraps"] = nb
         print(f"{name}: first {t_first:.1f}s warm {t_warm:.2f}s "

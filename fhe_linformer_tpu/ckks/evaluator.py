@@ -573,6 +573,61 @@ class Evaluator:
         assert ck is not None
         return self._galois(ct, self.ctx.conj_t(), ck)
 
+    def _tree_key_stack(self, shifts, nl: int):
+        """Stacked (kb, ka) rotation keys for a rotate-accumulate tree,
+        small-LRU cached (a layer uses a handful of distinct trees:
+        rotsum/repeat at strides 1 and d; re-stacking per call would
+        queue multi-hundred-MB transients — the round-3 OOM lesson)."""
+        cache = getattr(self, "_tree_stacks", None)
+        if cache is None:
+            cache = self._tree_stacks = {}
+        key = (tuple(shifts), nl)
+        if key not in cache:
+            slots = self.ctx.cfg.slots
+            hk = self._require_keys("rotate_tree")
+            kbs, kas, gps = [], [], []
+            for r in shifts:
+                rr = r % slots
+                k = hk.rot.get(rr) or hk.rot.get(rr - slots)
+                assert k is not None, f"no rotation key for shift {r}"
+                kb, ka = self._sliced_key(k, nl)
+                kbs.append(_mat_rows(kb))
+                kas.append(_mat_rows(ka))
+                gps.append(self.ctx.galois_perm_factored(
+                    self.ctx.galois_t(rr)))
+            val = (jnp.stack(kbs), jnp.stack(kas),
+                   jnp.stack([g.gamma for g in gps]),
+                   jnp.stack([g.bits for g in gps]),
+                   jnp.stack([g.rowmap for g in gps]))
+            if len(cache) >= 3:          # small LRU: drop the oldest
+                cache.pop(next(iter(cache)))
+            cache[key] = val
+        else:                            # refresh LRU order
+            cache[key] = cache.pop(key)
+        return cache[key]
+
+    def rotate_accumulate_tree(self, ct: Ciphertext, shifts) -> Ciphertext:
+        """ct := ct + rotate(ct, s) sequentially over `shifts`, as ONE
+        scanned dispatch (the rotsum/repeat log-trees: previously
+        log2(count) separate rotate + add dispatches, each costing the
+        tunneled chip's 20-35 ms launch latency x the batch chunking).
+        Needs a dedicated key per shift; falls back unfused otherwise."""
+        ctx = self.ctx
+        nl = ct.nl
+        live = [s for s in shifts if s % ctx.cfg.slots != 0]
+        if not live:
+            return ct
+        _COUNTS.count("keyswitch", len(live) * _nct(ct))
+        _COUNTS.count("rotation", len(live) * _nct(ct))
+        kbs, kas, gammas, bitss, rowmaps = self._tree_key_stack(live, nl)
+        ks = ctx.ks_tables(nl)
+
+        def f(part):
+            c0, c1 = _galois_tree_core(part.c0, part.c1, gammas, bitss,
+                                       rowmaps, kbs, kas, ks)
+            return part.with_data(c0, c1)
+        return self._chunked(ct, f)
+
     def rotate_hoisted(self, ct: Ciphertext, rots) -> dict:
         """{r: rotate(ct, r)} with the key-switch decomposition computed
         ONCE (hoisting): ~40% of each additional rotation's NTT work is
@@ -1337,6 +1392,25 @@ def _combo_stage2_all_core(c0ps, t0s, t1s, gidx, bidx, los, his, G, ks):
     k0 = _mod_down(a0e, ks)
     k1 = _mod_down(a1e, ks)
     return ma.addmod(a0q, k0, ks.q_act), k1
+
+
+@jax.jit
+def _galois_tree_core(c0, c1, gammas, bitss, rowmaps, kbs, kas, ks):
+    """Sequential rotate-accumulate: (c0, c1) += galois((c0, c1), t_i)
+    scanned over the stacked shift tables — a whole rotsum/repeat log-tree
+    in one compiled dispatch (carry shape is constant, so the scan body
+    compiles once regardless of tree depth)."""
+    def body(carry, xs):
+        a0, a1 = carry
+        gamma, bits, rowmap, kb, ka = xs
+        gp = GaloisPerm(gamma, bits, rowmap)
+        o0, o1 = _galois_core(a0, a1, gp, kb, ka, ks)
+        return (ma.addmod(a0, o0, ks.q_act),
+                ma.addmod(a1, o1, ks.q_act)), None
+
+    (c0, c1), _ = jax.lax.scan(
+        body, (c0, c1), (gammas, bitss, rowmaps, kbs, kas))
+    return c0, c1
 
 
 @jax.jit

@@ -88,16 +88,18 @@ _reg(Preset(
 _reg(Preset(
     name="linformer-boot-w",
     desc="single-layer encrypted Linformer, wide (paired-scale) bootstrap",
-    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=56, dnum=3,
+    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=58, dnum=3,
                     secret_hw=32),
     bootstrap=True,
 ))
 
-# config 5: multi-layer end-to-end classification
+# config 5: multi-layer end-to-end classification.  num_scaling follows
+# the wide-bootstrap chain (see linformer-boot-w): the circuit's
+# inter-refresh segments are the same as the single-layer preset's.
 _reg(Preset(
     name="multi-layer",
     desc="multi-layer encrypted Linformer classification end-to-end",
-    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=44, dnum=3,
+    ckks=CKKSConfig(n=1 << 15, scale_bits=26, num_scaling=58, dnum=3,
                     secret_hw=32),
     layers=2,
     bootstrap=True,

@@ -111,17 +111,26 @@ class PackedOps:
     # -- rotate-accumulate trees (FHEController.cpp:829-867) -----------
 
     def rotsum(self, ct: Ciphertext, count: int, padding: int) -> Ciphertext:
-        """slot[s] += sum over count strided copies: log-depth tree."""
+        """slot[s] += sum over count strided copies: log-depth tree.
+        With dedicated keys the whole tree runs as ONE scanned dispatch
+        (Evaluator.rotate_accumulate_tree — the round-3 packed layer spent
+        seconds of tunnel launch latency on these log-trees)."""
         ev = self.ev
-        for i in range(_log2(count)):
-            ct = ev.add(ct, ev.rotate(ct, padding * (1 << i)))
-        return ct
+        shifts = [padding * (1 << i) for i in range(_log2(count))]
+        return self._acc_tree(ct, shifts)
 
     def repeat(self, ct: Ciphertext, count: int, padding: int = 1) -> Ciphertext:
         """Broadcast by negative-rotation tree."""
+        shifts = [-padding * (1 << i) for i in range(_log2(count))]
+        return self._acc_tree(ct, shifts)
+
+    def _acc_tree(self, ct: Ciphertext, shifts) -> Ciphertext:
         ev = self.ev
-        for i in range(_log2(count)):
-            ct = ev.add(ct, ev.rotate(ct, -padding * (1 << i)))
+        if ev.has_rotation_keys(shifts) and \
+                getattr(ev, "_shard_mesh", None) is None:
+            return ev.rotate_accumulate_tree(ct, shifts)
+        for s in shifts:
+            ct = ev.add(ct, ev.rotate(ct, s))
         return ct
 
     # -- matmul families (FHEController.cpp:869-1058) -------------------

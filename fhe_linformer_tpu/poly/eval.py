@@ -67,7 +67,16 @@ class PolyEvaluator:
         if not self.wide:
             return ev.mul(a, b)
         out = ev.mul(a, b, rescale=False)
-        return ev.rescale(ev.rescale(out))
+        out = ev.rescale(ev.rescale(out))
+        # drift clamp: each paired product multiplies the scale by
+        # s/(qd*qd2), and the T_{2m} doubling chain SQUARES the running
+        # drift — at the production ring's 25..27-bit prime spread the
+        # scale blows past the 2^62 encode window within three giant
+        # doublings (round-2's scale-drift lesson, now at delta^2).  One
+        # conditional level per offending product bounds it at +-1.5 bits.
+        if out.nl > 1 and abs(math.log2(out.scale / self.anchor)) > 1.5:
+            out = ev.adjust(out, out.nl - 1, self.anchor)
+        return out
 
     def _match(self, a: Ciphertext, b: Ciphertext):
         """ev.match, but the equal-level reconciliation lands on the

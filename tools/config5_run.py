@@ -46,7 +46,8 @@ def main(S=32):
     while s < preset.ckks.slots:
         rots |= {s, -s}
         s *= 2
-    bootcfg = BootConfig()
+    wide = os.environ.get("FHE_WIDE_BOOT", "1") == "1"
+    bootcfg = BootConfig.wide_production() if wide else BootConfig()
     rots |= set(Bootstrapper.rotations_for(preset.ckks.n, bootcfg))
     t0 = time.time()
     keys = generate_keys(ctx, rotations=tuple(sorted(rots)), conj=True)

@@ -47,7 +47,13 @@ def main(batch=2):
           f"num_q={ctx.num_q} k_sp={ctx.k_sp}", flush=True)
     persist()
 
-    cfg = BootConfig()
+    # the round-4 production boot mechanics (wide + boost); the preset's
+    # chain stays at num_scaling=44 to hold the >=128-bit modulus budget,
+    # so the wide boot leaves ~10 usable limbs — enough for the security
+    # demonstration this run is (keygen + one precise bootstrap at 2^16)
+    wide = os.environ.get("FHE_WIDE_BOOT", "1") == "1"
+    cfg = BootConfig(wide=True, scale_boost=4) if wide else BootConfig()
+    results["wide"] = cfg.wide
     rots = Bootstrapper.rotations_for(ctx.cfg.n, cfg)
     results["boot_rotation_keys"] = len(rots)
     t0 = time.time()
