@@ -161,6 +161,7 @@ def main_packed(S=128, boot=True):
         ks0 = GLOBAL_TIMERS.counts["keyswitch"]
         cr0 = GLOBAL_TIMERS.counts["combo_rot"]
         b0 = GLOBAL_TIMERS.counts["bootstrap"]
+        d0 = GLOBAL_TIMERS.counts["dispatch"]
         # FHE_STAGE_REPS warm samples (default 2): single warm numbers on
         # the tunneled chip showed unexplained 1.0 s vs 36.5 s swings on
         # identical code (round-3 pooler); report the MEDIAN + samples so
@@ -182,6 +183,8 @@ def main_packed(S=128, boot=True):
         results[f"{name}_combo_rots"] = \
             (GLOBAL_TIMERS.counts["combo_rot"] - cr0) // reps
         nb_ = (GLOBAL_TIMERS.counts["bootstrap"] - b0) // reps
+        results[f"{name}_dispatches"] = \
+            (GLOBAL_TIMERS.counts["dispatch"] - d0) // reps
         if nb_:
             results[f"{name}_bootstraps"] = nb_
         print(f"{name}: first {t_first:.1f}s warm {t_warm:.2f}s "

@@ -1095,7 +1095,27 @@ class Evaluator:
 from ..ops.ntt import _fwd as _ntt_fwd, _inv as _ntt_inv  # noqa: E402
 
 
-@jax.jit
+def _djit(fn):
+    """jax.jit + a GLOBAL_TIMERS 'dispatch' count per top-level call.
+
+    On the tunneled dev chip every dispatch costs 20-35 ms of launch
+    latency regardless of size; this counter makes per-stage dispatch
+    mass a MEASURED number (bench_layer records the per-stage delta) so
+    fusion work (scan trees, whole-stage jits) has a before/after metric.
+    Calls from inside another trace only happen while tracing (once per
+    shape), so the count is the executed-dispatch count to within the
+    compile count."""
+    jf = jax.jit(fn)
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        _COUNTS.count("dispatch", 1)
+        return jf(*a, **k)
+    wrapped._jit = jf
+    return wrapped
+
+
+@_djit
 def _rns_spread_i32(c, q, mu, sh):
     """(..., n) int32 centered coeffs -> (..., L, n) u32 residues, on
     device.  q: (L, 1) u32 (mu/sh unused, kept for mod_consts signature)."""
@@ -1104,49 +1124,49 @@ def _rns_spread_i32(c, q, mu, sh):
     return r.astype(jnp.uint32)
 
 
-@jax.jit
+@_djit
 def _encrypt_core(p0, p1, v, e0, e1, m, q, mu, sh):
     c0 = ma.addmod(ma.addmod(ma.barrett_mulmod(p0, v, q, mu, sh), e0, q), m, q)
     c1 = ma.addmod(ma.barrett_mulmod(p1, v, q, mu, sh), e1, q)
     return c0, c1
 
 
-@jax.jit
+@_djit
 def _decrypt_core(c0, c1, s, q, mu, sh):
     return ma.addmod(c0, ma.barrett_mulmod(c1, s, q, mu, sh), q)
 
 
-@jax.jit
+@_djit
 def _add_core(a0, a1, b0, b1, q):
     return ma.addmod(a0, b0, q), ma.addmod(a1, b1, q)
 
 
-@jax.jit
+@_djit
 def _mul_plain_core(c0, c1, w, ws, q):
     return (ma.shoup_mulmod(c0, w, ws, q), ma.shoup_mulmod(c1, w, ws, q))
 
 
-@jax.jit
+@_djit
 def _mul_plain_barrett(c0, c1, w, q, mu, sh):
     return (ma.barrett_mulmod(c0, w, q, mu, sh),
             ma.barrett_mulmod(c1, w, q, mu, sh))
 
 
-@jax.jit
+@_djit
 def _neg_core(c0, c1, q):
     return ma.negmod(c0, q), ma.negmod(c1, q)
 
 
-_addmod_j = jax.jit(ma.addmod)
-_submod_j = jax.jit(ma.submod)
+_addmod_j = _djit(ma.addmod)
+_submod_j = _djit(ma.submod)
 
 
-@jax.jit
+@_djit
 def _sub_core(a0, a1, b0, b1, q):
     return ma.submod(a0, b0, q), ma.submod(a1, b1, q)
 
 
-@jax.jit
+@_djit
 def _rescale_core(c0, c1, plan):
     outs = []
     nl = c0.shape[-2]
@@ -1263,14 +1283,14 @@ def _spread_ext(lo, hi, ks):
     return _spread2(lo, hi, ks.q_tgt, ks.mu_tgt, ks.sh_tgt)
 
 
-@jax.jit
+@_djit
 def _pt_expand_q(lo, hi, ks):
     """Coeff plaintext -> eval rows over the ACTIVE Q basis only."""
     res = _spread2(lo, hi, ks.q_act, ks.mu_act, ks.sh_act)
     return _ntt_fwd(res, ks.t_act)
 
 
-@jax.jit
+@_djit
 def _hoisted_combo_coeff_core(c0, y_e, gammas, bitss, rowmaps, kbs, kas,
                               los, his, ks):
     """_hoisted_combo_core with COMPRESSED plaintexts: each scan step
@@ -1307,7 +1327,7 @@ def _hoisted_combo_coeff_core(c0, y_e, gammas, bitss, rowmaps, kbs, kas,
     return ma.addmod(a0q, k0, ks.q_act), k1
 
 
-@jax.jit
+@_djit
 def _combo_stage1_core(c0, y_e, gammas, bitss, rowmaps, kstack_b,
                        kstack_a, ks):
     """Scan over baby shifts: permute (c0, y_e), inner-product with the
@@ -1326,7 +1346,7 @@ def _combo_stage1_core(c0, y_e, gammas, bitss, rowmaps, kstack_b,
     return c0ps, t0s, t1s
 
 
-@jax.jit
+@_djit
 def _combo_stage2_core(c0ps, t0s, t1s, idxs, los, his, ks):
     """pt-weighted accumulation of stage-1 rows + ONE lazy mod-down."""
     nl = ks.nl
@@ -1356,7 +1376,20 @@ def _combo_stage2_core(c0ps, t0s, t1s, idxs, los, his, ks):
     return ma.addmod(a0q, k0, ks.q_act), k1
 
 
-@functools.partial(jax.jit, static_argnames=("G",))
+def _djit_static(**jit_kw):
+    def deco(fn):
+        jf = jax.jit(fn, **jit_kw)
+
+        @functools.wraps(fn)
+        def wrapped(*a, **k):
+            _COUNTS.count("dispatch", 1)
+            return jf(*a, **k)
+        wrapped._jit = jf
+        return wrapped
+    return deco
+
+
+@_djit_static(static_argnames=("G",))
 def _combo_stage2_all_core(c0ps, t0s, t1s, gidx, bidx, los, his, G, ks):
     """Scan over every (group, baby, pt) pair, carrying per-group
     accumulators; ONE batched mod-down at the end."""
@@ -1394,7 +1427,7 @@ def _combo_stage2_all_core(c0ps, t0s, t1s, gidx, bidx, los, his, G, ks):
     return ma.addmod(a0q, k0, ks.q_act), k1
 
 
-@jax.jit
+@_djit
 def _galois_tree_core(c0, c1, gammas, bitss, rowmaps, kbs, kas, ks):
     """Sequential rotate-accumulate: (c0, c1) += galois((c0, c1), t_i)
     scanned over the stacked shift tables — a whole rotsum/repeat log-tree
@@ -1413,7 +1446,7 @@ def _galois_tree_core(c0, c1, gammas, bitss, rowmaps, kbs, kas, ks):
     return c0, c1
 
 
-@jax.jit
+@_djit
 def _multi_galois_sum_core(c0s, c1s, gammas, bitss, rowmaps, kbs, kas, ks):
     """sum_g galois(cts[g], t_g): a scan of full key switches with an
     exact modular accumulator — one dispatch for a transform's giants."""
@@ -1433,7 +1466,7 @@ def _multi_galois_sum_core(c0s, c1s, gammas, bitss, rowmaps, kbs, kas, ks):
     return acc0, acc1
 
 
-@jax.jit
+@_djit
 def _hoisted_combo_core(c0, y_e, gammas, bitss, rowmaps, kbs, kas, pts, ks):
     """sum_j pt_j * rotate_j(ct) with a shared decomposition y_e and ONE
     deferred mod-down (double hoisting / lazy key switching): per rotation
@@ -1483,12 +1516,12 @@ def _ks_inner(cx_coeff, ksk_b, ksk_a, ks, cx_eval=None):
     return _ks_apply(_ks_decompose(cx_coeff, ks, cx_eval), ksk_b, ksk_a, ks)
 
 
-@jax.jit
+@_djit
 def _hoist_decompose_core(c1, ks):
     return _ks_decompose(_ntt_inv(c1, ks.t_act), ks, cx_eval=c1)
 
 
-@jax.jit
+@_djit
 def _hoist_rotate_core(c0, y_e, gp, kb, ka, ks):
     r0 = _apply_gperm(c0, gp)
     y_perm = _apply_gperm(y_e, gp)
@@ -1552,7 +1585,7 @@ def _mod_down(x, ks):
     return ma.shoup_mulmod(diff, ks.pinv, ks.pinv_s, ks.q_act)
 
 
-@jax.jit
+@_djit
 def _mul_relin_core(a0, a1, b0, b1, kb, ka, ks):
     q, mu, sh = ks.q_act, ks.mu_act, ks.sh_act
     d0 = ma.barrett_mulmod(a0, b0, q, mu, sh)
@@ -1578,7 +1611,7 @@ def _apply_gperm(v, gp):
     return y.reshape(v.shape)
 
 
-@jax.jit
+@_djit
 def _galois_core(c0, c1, gp, kb, ka, ks):
     q = ks.q_act
     r0 = _apply_gperm(c0, gp)

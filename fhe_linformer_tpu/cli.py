@@ -174,12 +174,18 @@ def cmd_infer(args):
 def cmd_eval(args):
     """Batch accuracy over exported sample dirs (the reference's
     --eval_root mode, compute_20ng_linformer_forward.py:230-264).
-    Layout: <root>/test_<i>/input_<t>.txt + <root>/labels.txt."""
+    Layout: <root>/test_<i>/input_<t>.txt + <root>/labels.txt.
+
+    --encrypted additionally runs every sample through the ENCRYPTED
+    circuit (one keygen, reused) and reports encrypted accuracy plus the
+    encrypted-vs-golden argmax agreement rate — the task-level parity
+    number the reference only ever produced one sample at a time
+    (main_2.cpp decrypt -> softmax -> argmax)."""
     import os
     from .models import golden
     from .io.weights import load_reference_weights
     from .client.pipeline import load_sample_embeddings, softmax_argmax
-    p, _ = _build_context(args.preset)
+    p, ctx = _build_context(args.preset)
     if args.weights_dir:
         w = load_reference_weights(args.weights_dir, d=p.d, k_lin=p.k_lin,
                                    d_ffn=p.d_ffn, n_classes=p.n_classes,
@@ -191,7 +197,21 @@ def cmd_eval(args):
               open(os.path.join(args.eval_root, "labels.txt"))]
     dirs = sorted((d for d in os.listdir(args.eval_root)
                    if d.startswith("test_")), key=lambda d: int(d[5:]))
+    circ = booter = None
+    if args.encrypted:
+        from .ckks import Evaluator, generate_keys
+        from .models.circuit_packed import PackedLinformer
+        keys = generate_keys(ctx, rotations=_preset_rotations(p, ctx),
+                             conj=p.bootstrap)
+        ev = Evaluator(ctx, keys)
+        if p.bootstrap:
+            from .boot.bootstrap import Bootstrapper, BootConfig
+            bc = BootConfig.wide_production() if p.name.endswith("-w") \
+                else None
+            booter = Bootstrapper(ev, bc)
+        circ = PackedLinformer(ev, w, p.circuit, d=p.d)
     correct = total = 0
+    enc_correct = enc_agree = 0
     for d in dirs:
         idx = int(d[5:])
         emb = load_sample_embeddings(os.path.join(args.eval_root, d))
@@ -199,7 +219,17 @@ def cmd_eval(args):
         pred, _ = softmax_argmax(np.log(np.maximum(probs, 1e-30)))
         correct += int(pred == labels[idx])
         total += 1
-    print(json.dumps({"accuracy": correct / max(total, 1), "n": total}))
+        if circ is not None:
+            out = circ.forward(emb, boot=booter,
+                               input_nl=12 if p.bootstrap else None)
+            epred, _ = softmax_argmax(circ.decrypt_logits(out))
+            enc_correct += int(epred == labels[idx])
+            enc_agree += int(epred == pred)
+    res = {"accuracy": correct / max(total, 1), "n": total}
+    if circ is not None:
+        res["encrypted_accuracy"] = enc_correct / max(total, 1)
+        res["encrypted_golden_agreement"] = enc_agree / max(total, 1)
+    print(json.dumps(res))
 
 
 def cmd_security(args):
@@ -254,6 +284,9 @@ def main(argv=None):
     evp.add_argument("--weights-dir", default=None)
     evp.add_argument("--eval-root", required=True)
     evp.add_argument("--cls-only", action="store_true")
+    evp.add_argument("--encrypted", action="store_true",
+                     help="also run each sample through the encrypted "
+                          "circuit; report encrypted accuracy + agreement")
     evp.set_defaults(fn=cmd_eval)
 
     bn = sub.add_parser("bench")

@@ -65,3 +65,34 @@ def test_cli_keygen_load_infer_golden_parity(tmp_path, capsys, monkeypatch):
                                atol=0.08, rtol=0.08)
     assert enc["pred"] == int(np.argmax(inter["logits"]))
     assert len(gold["logits"]) == 5
+
+
+def test_cli_encrypted_eval_accuracy(tmp_path, capsys):
+    """`cli eval --encrypted`: batch accuracy through the ENCRYPTED packed
+    circuit with encrypted-vs-golden agreement (the task-level parity
+    harness; reference computes accuracy plaintext-only,
+    compute_20ng_linformer_forward.py:230-264)."""
+    wd = str(tmp_path / "weights")
+    root = tmp_path / "eval_root"
+    root.mkdir()
+    w = golden.random_weights(d=8, k_lin=4, d_ffn=32, n_classes=5,
+                              max_seq=12, seed=33, scale=0.3)
+    save_reference_weights(wd, w)
+    rng = np.random.default_rng(9)
+    labels = []
+    for i in range(2):
+        emb = rng.normal(0, 0.3, (4, 8))
+        pipeline.export_sample_embeddings(str(root / f"test_{i}"), emb)
+        probs = golden.forward(w, emb)
+        labels.append(int(np.argmax(probs)))    # golden-consistent labels
+    (root / "labels.txt").write_text("\n".join(map(str, labels)) + "\n")
+
+    cli.main(["eval", "--preset", "tiny", "--weights-dir", wd,
+              "--eval-root", str(root), "--encrypted"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n"] == 2
+    # labels were set to the golden argmax, so golden accuracy is 1.0 and
+    # the encrypted path must agree with golden on every sample
+    assert out["accuracy"] == 1.0
+    assert out["encrypted_golden_agreement"] == 1.0
+    assert out["encrypted_accuracy"] == 1.0

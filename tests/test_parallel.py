@@ -22,7 +22,7 @@ def test_dryrun_multichip_8():
     r = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert "sharded PRODUCTION keyswitch parity OK" in r.stdout
     assert "PRODUCTION ring 2^15 OK" in r.stdout      # via Evaluator.rotate
