@@ -606,6 +606,22 @@ class Evaluator:
             cache[key] = cache.pop(key)
         return cache[key]
 
+    def multi_rotate_stack(self, ct: Ciphertext, shifts) -> Ciphertext:
+        """[rotate(ct, r) for r in shifts] stacked on a NEW leading axis:
+        ONE hoisted decomposition shared by every rotation and ONE scanned
+        dispatch (the deinterleave trees re-decomposed their whole
+        accumulated batch at every doubling step).  Needs a dedicated key
+        per shift."""
+        ctx = self.ctx
+        _COUNTS.count("keyswitch", len(shifts) * _nct(ct))
+        _COUNTS.count("rotation_hoisted", len(shifts) * _nct(ct))
+        kbs, kas, gammas, bitss, rowmaps = self._tree_key_stack(
+            [s % ctx.cfg.slots for s in shifts], ct.nl)
+        ks = ctx.ks_tables(ct.nl)
+        o0, o1 = _multi_galois_stack_core(ct.c0, ct.c1, gammas, bitss,
+                                          rowmaps, kbs, kas, ks)
+        return ct.with_data(o0, o1)
+
     def rotate_accumulate_tree(self, ct: Ciphertext, shifts) -> Ciphertext:
         """ct := ct + rotate(ct, s) sequentially over `shifts`, as ONE
         scanned dispatch (the rotsum/repeat log-trees: previously
@@ -1425,6 +1441,26 @@ def _combo_stage2_all_core(c0ps, t0s, t1s, gidx, bidx, los, his, G, ks):
     k0 = _mod_down(a0e, ks)
     k1 = _mod_down(a1e, ks)
     return ma.addmod(a0q, k0, ks.q_act), k1
+
+
+@_djit
+def _multi_galois_stack_core(c0, c1, gammas, bitss, rowmaps, kbs, kas, ks):
+    """Hoisted multi-rotate with STACKED outputs: one decomposition, then
+    per shift only a factored permutation + key inner products + mod-down
+    (no per-rotation decompose NTTs), scanned into a new leading axis."""
+    y_e = _ks_decompose(_ntt_inv(c1, ks.t_act), ks, cx_eval=c1)
+
+    def body(_, xs):
+        gamma, bits, rowmap, kb, ka = xs
+        gp = GaloisPerm(gamma, bits, rowmap)
+        c0p = _apply_gperm(c0, gp)
+        yp = _apply_gperm(y_e, gp)
+        k0, k1 = _ks_apply(yp, kb, ka, ks)
+        return None, (ma.addmod(c0p, k0, ks.q_act), k1)
+
+    _, (o0s, o1s) = jax.lax.scan(
+        body, None, (gammas, bitss, rowmaps, kbs, kas))
+    return o0s, o1s
 
 
 @_djit

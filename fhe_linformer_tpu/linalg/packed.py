@@ -226,11 +226,29 @@ class PackedOps:
     def deinterleave_batch(self, ct: Ciphertext, m: int,
                            stride: int = 1) -> Ciphertext:
         """Single ct -> (m, ...) batch with batch element t = rotate(ct,
-        t*stride) (callers then mask+repeat).  log2(m) batched rotations."""
+        t*stride) (callers then mask+repeat).
+
+        When dedicated keys cover a prefix of the shifts, that prefix
+        builds via ONE hoisted multi-rotate (one decomposition, one
+        dispatch — Evaluator.multi_rotate_stack); remaining doublings use
+        the batched-rotation tree (each step re-decomposes its whole
+        accumulated batch)."""
         import jax.numpy as jnp
         ev = self.ev
-        out = ct.with_data(ct.c0[None], ct.c1[None])
-        k = 1
+        p = 1
+        if getattr(ev, "_shard_mesh", None) is None:
+            while p * 2 <= m and ev.has_rotation_keys(
+                    [t * stride for t in range(1, p * 2)]):
+                p *= 2
+        if p > 1:
+            stk = ev.multi_rotate_stack(ct, [t * stride
+                                             for t in range(1, p)])
+            out = ct.with_data(jnp.concatenate([ct.c0[None], stk.c0]),
+                               jnp.concatenate([ct.c1[None], stk.c1]))
+            k = p
+        else:
+            out = ct.with_data(ct.c0[None], ct.c1[None])
+            k = 1
         while out.c0.shape[0] < m:
             rot = ev.rotate(out, k * stride)
             out = out.with_data(jnp.concatenate([out.c0, rot.c0]),

@@ -166,6 +166,22 @@ def main(batch: int = 4):
         prec = min(approx_error_log2(m[i], got[i]) for i in range(batch))
         print(f"precision: {prec:.2f} bits (log2 inf-norm), "
               f"usable levels after boot: {out.nl - 1}", flush=True)
+        # error anatomy (directs the next precision lever — see ROADMAP
+        # round-3/4 precision decompositions): a flat median = additive
+        # noise, linear-in-m = gain/scale bookkeeping, heavy tails =
+        # domain edges
+        err = (got - m).ravel()
+        mf = m.ravel()
+        fit = float(np.dot(err, mf) / np.dot(mf, mf))
+        resid = err - fit * mf
+        results["bootstrap_err_median"] = float(np.median(np.abs(err)))
+        results["bootstrap_err_p99"] = float(np.percentile(np.abs(err), 99))
+        results["bootstrap_err_linear_in_m"] = fit
+        results["bootstrap_err_resid_max"] = float(np.abs(resid).max())
+        print(f"err median {results['bootstrap_err_median']:.2e} p99 "
+              f"{results['bootstrap_err_p99']:.2e} linear-in-m {fit:.2e} "
+              f"resid max {results['bootstrap_err_resid_max']:.2e}",
+              flush=True)
         results["bootstrap_precision_bits"] = round(prec, 2)
         _persist(results, drop=("bootstrap_precision_error",))
     except Exception as e:
