@@ -194,8 +194,24 @@ def main_packed(S=128, boot=True):
         persist()
         return out2
 
+    # FHE_PROFILE=<dir>: jax.profiler device trace of the warm attention
+    # stage (the stage with the unexplained 12.8 s vs 28 s round-3
+    # variance).  Best-effort: the tunneled device may not support export.
+    prof_dir = os.environ.get("FHE_PROFILE")
+    if prof_dir:
+        try:
+            jax.profiler.start_trace(prof_dir)
+        except Exception as e:
+            print(f"profiler unavailable: {e!r}", flush=True)
+            prof_dir = None
     attn = stage("attention", circ.attention, x_ct, xe, xf, S_total,
                  boot=booter)
+    if prof_dir:
+        try:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {prof_dir}", flush=True)
+        except Exception as e:
+            print(f"profiler stop failed: {e!r}", flush=True)
     xe = xf = None
     attn = stage("affine1", circ.affine, attn, w.a1, w.b1, w.c1, S_total)
     y = stage("ffn_gelu", circ.ffn, attn, boot=booter)

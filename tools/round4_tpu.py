@@ -38,7 +38,7 @@ STEPS = {
     "s128": ([PY, "-u", "bench_layer.py", "128", "--boot", "--packed"],
              7200, {"FHE_BOOT2": "0"}),
     "s700": ([PY, "-u", "bench_layer.py", "700", "--boot", "--packed"],
-             9000, {"FHE_BOOT2": "0"}),
+             9000, {"FHE_BOOT2": "0", "FHE_BOOT_CHUNK": "3"}),
     "s128b2": ([PY, "-u", "bench_layer.py", "128", "--boot", "--packed"],
                7200, {"FHE_BOOT2": "1"}),
     "s700b2": ([PY, "-u", "bench_layer.py", "700", "--boot", "--packed"],
