@@ -295,9 +295,7 @@ class Bootstrapper:
             # Chebyshev exit normalization already lands near the anchor)
             if abs(_math.log2(g.scale / anchor)) > 8.0 and g.nl > 1:
                 g = ev.adjust(g, g.nl - 1, anchor)
-            g = self.poly._mul(g, g)
-            g = ev.mul_scalar_int(g, 2)
-            g = ev.add_plain(g, ev.encode_const(-1.0, g.nl, g.scale))
+            g = self.poly._sq2m1(g)       # fused 2g^2-1, one dispatch
         return g
 
     def bootstrap(self, ct: Ciphertext, out_div: float = 1.0) -> Ciphertext:

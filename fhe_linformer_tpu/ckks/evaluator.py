@@ -351,8 +351,12 @@ class Evaluator:
             assert sk is not None, "secret key not retained"
             self._sk_host = np.asarray(sk.eval_full)
         m = min(crt_limbs, ct.nl)
-        c0 = np.asarray(ct.c0)[..., :m, :].astype(np.uint64)
-        c1 = np.asarray(ct.c1)[..., :m, :].astype(np.uint64)
+        # slice ON DEVICE before the download: the full-limb transfer's
+        # d2h staging failed with ResourceExhausted at the post-layer
+        # arena high-water (S=700 round-4 campaign) — only the m CRT rows
+        # are needed, an 8-20x smaller transfer
+        c0 = np.asarray(ct.c0[..., :m, :]).astype(np.uint64)
+        c1 = np.asarray(ct.c1[..., :m, :]).astype(np.uint64)
         s = self._sk_host[:m, :].astype(np.uint64)
         qs = np.asarray(ctx.qs[:m], np.uint64).reshape(-1, 1)
         m_eval = (c0 + c1 * s % qs) % qs          # products < 2^60 exact
@@ -547,6 +551,46 @@ class Evaluator:
 
     def square(self, a: Ciphertext, rescale: bool = True) -> Ciphertext:
         return self.mul(a, a, rescale)
+
+    def square_double_minus_one(self, a: Ciphertext,
+                                wide: bool = False) -> Ciphertext:
+        """2*a^2 - 1 with relinearization, rescale(s) and the affine tail
+        fused into ONE dispatch — the Chebyshev T_{2m} doubling node,
+        previously mul + x2 + const-add (+ extra rescale in wide mode) =
+        4-5 separate launches each costing the tunnel's per-dispatch
+        latency.  Appears ~13x per deg-119 chain: every gadget (exp /
+        inverse / GELU / tanh) and the bootstrap EvalMod ride it."""
+        ctx = self.ctx
+        nl = a.nl
+        _COUNTS.count("ctct_mult", _nct(a))
+        _COUNTS.count("keyswitch", _nct(a))
+        _COUNTS.count("rescale", (2 if wide else 1) * _nct(a))
+        ks = ctx.ks_tables(nl)
+        kb, ka = self._sliced_key(self._require_keys("mul/relin").relin, nl)
+        plan1 = ctx.rescale_tables(nl)
+        s_prod = a.scale * a.scale
+        if wide:
+            assert nl >= 3
+            plan2 = ctx.rescale_tables(nl - 1)
+            s_out = s_prod / float(ctx.qs[nl - 1]) / float(ctx.qs[nl - 2])
+            nl_out = nl - 2
+        else:
+            assert nl >= 2
+            s_out = s_prod / float(ctx.qs[nl - 1])
+            nl_out = nl - 1
+        limbs = ctx.limb_idx(nl_out)
+        qs = np.asarray([ctx.basis[i] for i in limbs], np.int64)
+        v = int(round(s_out))
+        assert 0 < v < 1 << 62
+        m1 = jnp.asarray((((-v) % qs).reshape(-1, 1)).astype(np.uint32))
+        if wide:
+            c0, c1 = _cheb_sq2_core(a.c0, a.c1, kb, ka, ks, plan1, plan2,
+                                    m1)
+        else:
+            c0, c1 = _cheb_sq_core(a.c0, a.c1, kb, ka, ks, plan1, m1)
+        out = Ciphertext(c0, c1, nl_out, s_out)
+        out.scale = s_out
+        return out
 
     def _align_mult(self, a: Ciphertext, b: Ciphertext):
         nl = min(a.nl, b.nl)
@@ -1182,8 +1226,7 @@ def _sub_core(a0, a1, b0, b1, q):
     return ma.submod(a0, b0, q), ma.submod(a1, b1, q)
 
 
-@_djit
-def _rescale_core(c0, c1, plan):
+def _rescale_body(c0, c1, plan):
     outs = []
     nl = c0.shape[-2]
     for c in (c0, c1):
@@ -1195,6 +1238,11 @@ def _rescale_core(c0, c1, plan):
         diff = ma.submod(body, lift_e, plan.qrem)
         outs.append(ma.shoup_mulmod(diff, plan.inv, plan.inv_s, plan.qrem))
     return tuple(outs)
+
+
+@_djit
+def _rescale_core(c0, c1, plan):
+    return _rescale_body(c0, c1, plan)
 
 
 def _ks_decompose(cx_coeff, ks, cx_eval=None):
@@ -1619,6 +1667,41 @@ def _mod_down(x, ks):
     y_e = _ntt_fwd(y, ks.t_act)
     diff = ma.submod(xq, y_e, ks.q_act)
     return ma.shoup_mulmod(diff, ks.pinv, ks.pinv_s, ks.q_act)
+
+
+def _sq2m1_tail(a0, a1, kb, ka, ks):
+    """Shared head of the fused Chebyshev doubling node: relinearized
+    square, then x2 (exact modular doubling)."""
+    q, mu, sh = ks.q_act, ks.mu_act, ks.sh_act
+    d0 = ma.barrett_mulmod(a0, a0, q, mu, sh)
+    ab = ma.barrett_mulmod(a0, a1, q, mu, sh)
+    d1 = ma.addmod(ab, ab, q)
+    d2 = ma.barrett_mulmod(a1, a1, q, mu, sh)
+    d2_coeff = _ntt_inv(d2, ks.t_act)
+    k0, k1 = _ks_inner(d2_coeff, kb, ka, ks, cx_eval=d2)
+    c0 = ma.addmod(d0, k0, q)
+    c0 = ma.addmod(c0, c0, q)
+    c1 = ma.addmod(d1, k1, q)
+    c1 = ma.addmod(c1, c1, q)
+    return c0, c1
+
+
+@_djit
+def _cheb_sq_core(a0, a1, kb, ka, ks, plan, m1):
+    """T = 2*a^2 - 1 fused: relin square, double, one rescale, the -1
+    (m1 arrives as (-round(s_out)) mod q residues, added to c0)."""
+    c0, c1 = _sq2m1_tail(a0, a1, kb, ka, ks)
+    c0, c1 = _rescale_body(c0, c1, plan)
+    return ma.addmod(c0, m1, plan.qrem), c1
+
+
+@_djit
+def _cheb_sq2_core(a0, a1, kb, ka, ks, plan1, plan2, m1):
+    """Wide variant: two rescales (paired working scale)."""
+    c0, c1 = _sq2m1_tail(a0, a1, kb, ka, ks)
+    c0, c1 = _rescale_body(c0, c1, plan1)
+    c0, c1 = _rescale_body(c0, c1, plan2)
+    return ma.addmod(c0, m1, plan2.qrem), c1
 
 
 @_djit

@@ -88,6 +88,16 @@ class PolyEvaluator:
             return ev.adjust(a, nl, s), ev.adjust(b, nl, s)
         return ev.match(a, b)
 
+    def _sq2m1(self, y: Ciphertext) -> Ciphertext:
+        """2*y^2 - 1 (the T_{2m} node) in one fused dispatch, with the
+        wide-mode drift clamp applied after."""
+        ev = self.ev
+        out = ev.square_double_minus_one(y, wide=self.wide)
+        if self.wide and out.nl > 1 and \
+                abs(math.log2(out.scale / self.anchor)) > 1.5:
+            out = ev.adjust(out, out.nl - 1, self.anchor)
+        return out
+
     # ------------------------------------------------------------------
     # linear combination with exact (nl, scale) targeting
     # ------------------------------------------------------------------
@@ -190,21 +200,18 @@ class PolyEvaluator:
         # T_{2i} = 2 T_i^2 - 1 ; T_{i+j} = 2 T_i T_j - T_{i-j}
         for i in range(2, k + 1):
             a, b = i // 2, i - i // 2
-            prod = self._mul(babies[a], babies[b])
-            prod = ev.mul_scalar_int(prod, 2)
             if a == b:
-                t = ev.add_plain(prod, ev.encode_const(-1.0, prod.nl, prod.scale))
+                t = self._sq2m1(babies[a])
             else:
+                prod = self._mul(babies[a], babies[b])
+                prod = ev.mul_scalar_int(prod, 2)
                 prod, tm = self._match(prod, babies[b - a])
                 t = ev.sub(prod, tm)
             babies[i] = t
         giants = {k: babies[k]}
         m = k
         while m < deg:
-            g = self._mul(giants[m], giants[m])
-            g = ev.mul_scalar_int(g, 2)
-            g = ev.add_plain(g, ev.encode_const(-1.0, g.nl, g.scale))
-            giants[2 * m] = g
+            giants[2 * m] = self._sq2m1(giants[m])
             m *= 2
 
         def rec(c: np.ndarray) -> Ciphertext:

@@ -44,6 +44,11 @@ def test_cli_e2e_isolated():
     assert "passed" in out
 
 
+def test_circuit_stages_isolated():
+    out = _run_isolated("tests/test_circuit_stages.py")
+    assert "passed" in out
+
+
 def test_circuit_packed_forward_isolated():
     out = _run_isolated("tests/test_circuit_packed.py")
     assert "passed" in out
