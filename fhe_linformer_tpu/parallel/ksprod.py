@@ -79,6 +79,26 @@ def _split16(x):
     return x & jnp.uint32(0xFFFF), x >> jnp.uint32(16)
 
 
+def _psum_scatter_mod(term_sum_lo_hi, q_l, mu_l, sh_l, axis: str,
+                      dim: int):
+    """Exact modular REDUCE-SCATTER: like _psum_mod but each device
+    receives only ITS block along `dim` — every device consumes exactly
+    its own row block of the converted output, so the all-reduce's
+    replicated (R, N) volume was pure ICI waste (the scaling model
+    measured it at ~50 MB per key switch; reduce-scatter divides it by
+    the mesh size).  The plane sums are the same exact u32 16-bit
+    payloads, so results stay bit-exact vs the psum path."""
+    lo, hi = term_sum_lo_hi
+    lo_t = jax.lax.psum_scatter(lo, axis, scatter_dimension=dim,
+                                tiled=True)
+    hi_t = jax.lax.psum_scatter(hi, axis, scatter_dimension=dim,
+                                tiled=True)
+    p16 = (jnp.uint32(1) << 16) % q_l
+    r = ma.barrett_mulmod(hi_t % q_l, p16, q_l, mu_l, sh_l)
+    out = r + lo_t % q_l
+    return jnp.where(out >= q_l, out - q_l, out)
+
+
 @dataclass
 class ShardedKSPlan:
     """Host-precomputed tables for one (ctx, nl, nshard) sharded key
@@ -218,12 +238,14 @@ def _sharded_mod_down(acc, radd, plan: ShardedKSPlan, tbl, lo, per, q_l,
         a, b = _split16(tm[t])
         l16 = l16 + a
         h16 = h16 + b
-    yq = _psum_mod((l16, h16), plan.q_act_row,
-                   (plan.a16, plan.a16_s), "limb")  # (nl, N) replicated
-    # local active rows of yq: rows [lo, lo+per) that are < nl
-    pad = jnp.zeros((plan.k_sp, yq.shape[-1]), jnp.uint32)
-    yq_ext = jnp.concatenate([yq, pad], axis=0)
-    yq_l = jax.lax.dynamic_slice_in_dim(yq_ext, lo, per, 0)
+    # reduce-scatter straight to the local row block (special rows ride
+    # as zero padding; rowmask zeroes them afterwards anyway)
+    padz = jnp.zeros((plan.k_sp, l16.shape[-1]), jnp.uint32)
+    mu_l = sl(plan.mu_full)
+    sh_l = sl(plan.sh_full)
+    yq_l = _psum_scatter_mod(
+        (jnp.concatenate([l16, padz], 0), jnp.concatenate([h16, padz], 0)),
+        q_l, mu_l, sh_l, "limb", 0)               # (per, N)
     # coefficient-domain overflow correction: yq -= v*P, making
     # (acc - yq)/P the ROUNDED division (pmod is 0 on special rows)
     yq_l = ma.submod(yq_l, ma.shoup_mulmod(
@@ -270,13 +292,15 @@ def make_sharded_galois(mesh: Mesh, plan: ShardedKSPlan, gp):
             a, b = _split16(terms[t])
             lo16 = lo16 + a
             hi16 = hi16 + b
-        y = _psum_mod((lo16, hi16), pl.q_row, (pl.p16, pl.p16_s), "limb")
-        # 5. slice local target rows of each digit, NTT, inner products
-        yd = y.reshape(plan.nd, T, c0_l.shape[-1])
-        yd_l = jax.lax.dynamic_slice_in_dim(yd, lo, per, 1)  # (nd, per, N)
-        y_e = ntt_fwd(yd_l, tbl)
+        # 5. reduce-scatter the digit rows (each device consumes only its
+        # own block), NTT, inner products
+        n = c0_l.shape[-1]
         mu_l = sl(pl.mu_full)
         sh_l = sl(pl.sh_full)
+        yd_l = _psum_scatter_mod(
+            (lo16.reshape(plan.nd, T, n), hi16.reshape(plan.nd, T, n)),
+            q_l[None], mu_l[None], sh_l[None], "limb", 1)  # (nd, per, N)
+        y_e = ntt_fwd(yd_l, tbl)
         t0 = ma.barrett_mulmod(y_e, kb_l, q_l, mu_l, sh_l)
         t1 = ma.barrett_mulmod(y_e, ka_l, q_l, mu_l, sh_l)
         acc0 = t0[0]
@@ -411,9 +435,9 @@ def make_sharded_combo(mesh: Mesh, plan: ShardedKSPlan, gps, n1: int):
             a, b = _split16(terms[t])
             lo16 = lo16 + a
             hi16 = hi16 + b
-        y = _psum_mod((lo16, hi16), pl.q_row, (pl.p16, pl.p16_s), "limb")
-        yd = y.reshape(pl.nd, T, n)
-        yd_l = jax.lax.dynamic_slice_in_dim(yd, lo, per, 1)
+        yd_l = _psum_scatter_mod(
+            (lo16.reshape(pl.nd, T, n), hi16.reshape(pl.nd, T, n)),
+            q_l[None], mu_l[None], sh_l[None], "limb", 1)
         y_e = ntt_fwd(yd_l, tbl)                  # (nd, per, N)
         # local 2^32 mod q (for the two-plane pt spread)
         p16v = (jnp.uint32(1) << 16) % q_l
