@@ -552,6 +552,55 @@ class Evaluator:
     def square(self, a: Ciphertext, rescale: bool = True) -> Ciphertext:
         return self.mul(a, a, rescale)
 
+    def mul_double_sub(self, a: Ciphertext, b: Ciphertext, c: Ciphertext,
+                       wide: bool = False) -> Ciphertext:
+        """2*a*b - c fused into ONE dispatch (the Chebyshev T_{a+b} node:
+        relinearized product, doubling, rescale(s), and c's scale-matched
+        subtraction — previously mul + x2 + match-adjust + sub, 5-6
+        launches).  c must sit at least one level above the output."""
+        ctx = self.ctx
+        a, b = self._align_mult(a, b)
+        nl = a.nl
+        _COUNTS.count("ctct_mult", _nct(a))
+        _COUNTS.count("keyswitch", _nct(a))
+        s_prod = a.scale * b.scale
+        if wide:
+            nl_out = nl - 2
+            s_out = s_prod / float(ctx.qs[nl - 1]) / float(ctx.qs[nl - 2])
+        else:
+            nl_out = nl - 1
+            s_out = s_prod / float(ctx.qs[nl - 1])
+        _COUNTS.count("rescale", (3 if wide else 2) * _nct(a))
+        assert c.nl >= nl_out + 1, (c.nl, nl_out)
+        c = self.drop_to(c, nl_out + 1)
+        # c's scale-matching constant (the inlined `adjust`): c * v_c then
+        # one rescale lands exactly near s_out (same quantization as the
+        # unfused match path)
+        qd_c = float(ctx.qs[nl_out])
+        v_c = int(round(s_out * qd_c / c.scale))
+        assert 0 < v_c < 1 << 62
+        limbs_c = ctx.limb_idx(nl_out + 1)
+        qs_c = np.asarray([ctx.basis[i] for i in limbs_c],
+                          np.int64).reshape(-1, 1)
+        res_c = (v_c % qs_c)
+        vc = jnp.asarray(res_c.astype(np.uint32))
+        vc_s = jnp.asarray(ma.shoup_precompute(res_c, qs_c))
+        ks = ctx.ks_tables(nl)
+        kb, ka = self._sliced_key(self._require_keys("mul/relin").relin, nl)
+        plan1 = ctx.rescale_tables(nl)
+        plan2 = ctx.rescale_tables(nl - 1) if wide else None
+        plan_c = ctx.rescale_tables(nl_out + 1)
+        qc = jnp.asarray(qs_c.astype(np.uint32))
+        if wide:
+            c0, c1 = _cheb_mulsub2_core(a.c0, a.c1, b.c0, b.c1, c.c0, c.c1,
+                                        kb, ka, ks, plan1, plan2, plan_c,
+                                        vc, vc_s, qc)
+        else:
+            c0, c1 = _cheb_mulsub_core(a.c0, a.c1, b.c0, b.c1, c.c0, c.c1,
+                                       kb, ka, ks, plan1, plan_c, vc, vc_s,
+                                       qc)
+        return Ciphertext(c0, c1, nl_out, s_out)
+
     def square_double_minus_one(self, a: Ciphertext,
                                 wide: bool = False) -> Ciphertext:
         """2*a^2 - 1 with relinearization, rescale(s) and the affine tail
@@ -1684,6 +1733,50 @@ def _sq2m1_tail(a0, a1, kb, ka, ks):
     c1 = ma.addmod(d1, k1, q)
     c1 = ma.addmod(c1, c1, q)
     return c0, c1
+
+
+def _mul2_tail(a0, a1, b0, b1, kb, ka, ks):
+    """Relinearized product, doubled (head of the T_{a+b} node)."""
+    q, mu, sh = ks.q_act, ks.mu_act, ks.sh_act
+    d0 = ma.barrett_mulmod(a0, b0, q, mu, sh)
+    d1 = ma.addmod(ma.barrett_mulmod(a0, b1, q, mu, sh),
+                   ma.barrett_mulmod(a1, b0, q, mu, sh), q)
+    d2 = ma.barrett_mulmod(a1, b1, q, mu, sh)
+    d2_coeff = _ntt_inv(d2, ks.t_act)
+    k0, k1 = _ks_inner(d2_coeff, kb, ka, ks, cx_eval=d2)
+    c0 = ma.addmod(d0, k0, q)
+    c0 = ma.addmod(c0, c0, q)
+    c1 = ma.addmod(d1, k1, q)
+    c1 = ma.addmod(c1, c1, q)
+    return c0, c1
+
+
+def _sub_scaled_c(c0, c1, e0, e1, vc, vc_s, qc, plan_c):
+    """(c0, c1) - rescale(c * vc): the inlined scale-match + subtract."""
+    f0 = ma.shoup_mulmod(e0, vc, vc_s, qc)
+    f1 = ma.shoup_mulmod(e1, vc, vc_s, qc)
+    f0, f1 = _rescale_body(f0, f1, plan_c)
+    return ma.submod(c0, f0, plan_c.qrem), ma.submod(c1, f1, plan_c.qrem)
+
+
+@_djit
+def _cheb_mulsub_core(a0, a1, b0, b1, e0, e1, kb, ka, ks, plan, plan_c,
+                      vc, vc_s, qc):
+    """T = 2ab - c fused: relin product, double, rescale, minus the
+    scale-matched c (inlined adjust: c*vc then one rescale)."""
+    c0, c1 = _mul2_tail(a0, a1, b0, b1, kb, ka, ks)
+    c0, c1 = _rescale_body(c0, c1, plan)
+    return _sub_scaled_c(c0, c1, e0, e1, vc, vc_s, qc, plan_c)
+
+
+@_djit
+def _cheb_mulsub2_core(a0, a1, b0, b1, e0, e1, kb, ka, ks, plan1, plan2,
+                       plan_c, vc, vc_s, qc):
+    """Wide variant: two product rescales."""
+    c0, c1 = _mul2_tail(a0, a1, b0, b1, kb, ka, ks)
+    c0, c1 = _rescale_body(c0, c1, plan1)
+    c0, c1 = _rescale_body(c0, c1, plan2)
+    return _sub_scaled_c(c0, c1, e0, e1, vc, vc_s, qc, plan_c)
 
 
 @_djit

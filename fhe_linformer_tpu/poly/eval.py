@@ -88,6 +88,24 @@ class PolyEvaluator:
             return ev.adjust(a, nl, s), ev.adjust(b, nl, s)
         return ev.match(a, b)
 
+    def _mul2sub(self, a: Ciphertext, b: Ciphertext,
+                 c: Ciphertext) -> Ciphertext:
+        """2ab - c (the T_{a+b} node) in one fused dispatch, with the
+        wide drift clamp; falls back to the mul/match/sub chain when c
+        sits too deep for the inlined scale match."""
+        ev = self.ev
+        nl_out = min(a.nl, b.nl) - (2 if self.wide else 1)
+        if c.nl >= nl_out + 1:
+            out = ev.mul_double_sub(a, b, c, wide=self.wide)
+            if self.wide and out.nl > 1 and \
+                    abs(math.log2(out.scale / self.anchor)) > 1.5:
+                out = ev.adjust(out, out.nl - 1, self.anchor)
+            return out
+        prod = self._mul(a, b)
+        prod = ev.mul_scalar_int(prod, 2)
+        prod, tm = self._match(prod, c)
+        return ev.sub(prod, tm)
+
     def _sq2m1(self, y: Ciphertext) -> Ciphertext:
         """2*y^2 - 1 (the T_{2m} node) in one fused dispatch, with the
         wide-mode drift clamp applied after."""
@@ -203,10 +221,7 @@ class PolyEvaluator:
             if a == b:
                 t = self._sq2m1(babies[a])
             else:
-                prod = self._mul(babies[a], babies[b])
-                prod = ev.mul_scalar_int(prod, 2)
-                prod, tm = self._match(prod, babies[b - a])
-                t = ev.sub(prod, tm)
+                t = self._mul2sub(babies[a], babies[b], babies[b - a])
             babies[i] = t
         giants = {k: babies[k]}
         m = k

@@ -27,6 +27,7 @@ def test_dryrun_multichip_8():
     assert "sharded PRODUCTION keyswitch parity OK" in r.stdout
     assert "PRODUCTION ring 2^15 OK" in r.stdout      # via Evaluator.rotate
     assert "sharded rotation COMBO parity OK" in r.stdout
+    assert "COMBO parity at PRODUCTION ring 2^15 OK" in r.stdout
     assert "full-circuit dp forward OK" in r.stdout
     assert "packed-circuit dp forward OK" in r.stdout
     assert "dryrun_multichip OK" in r.stdout
