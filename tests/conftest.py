@@ -47,6 +47,13 @@ else:
 
     import jax  # after env setup, before any test imports
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fhe_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # FHE_TEST_CACHE=0 disables the persistent compile cache: the XLA:CPU
+    # executable (de)serializer segfaulted on specific entries on this
+    # host (round 4: twice in the cache put during compile-heavy modules;
+    # the same tests pass cache-less).  Keep the cache for everyday speed;
+    # flip it off when chasing suite crashes.
+    if os.environ.get("FHE_TEST_CACHE", "1") != "0":
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/fhe_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -29,9 +29,13 @@ def _run_isolated(module: str, extra_env=None, timeout=2400):
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     env.update(extra_env or {})
+    cmd = [sys.executable, "-m", "pytest", module, "-x", "-q",
+           "--no-header", "-p", "no:cacheprovider"]
+    ksel = env.pop("_FHE_KSEL", None)
+    if ksel:
+        cmd += ["-k", ksel]
     r = subprocess.run(
-        [sys.executable, "-m", "pytest", module, "-x", "-q",
-         "--no-header", "-p", "no:cacheprovider"],
+        cmd,
         cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout)
     assert r.returncode == 0, \
         f"{module} failed in subprocess\nstdout:\n{r.stdout[-4000:]}\n" \
@@ -49,8 +53,19 @@ def test_circuit_stages_isolated():
     assert "passed" in out
 
 
+def test_circuit_packed_units_isolated():
+    # the packed module splits into TWO interpreters: running the unit
+    # tests and then a compile-heavy forward in one process crossed the
+    # XLA:CPU in-process fragility threshold in round 4 (abort during the
+    # forward's compiles after 5 green tests; the forward passes alone)
+    out = _run_isolated("tests/test_circuit_packed.py",
+                        extra_env={"_FHE_KSEL": "not forward"})
+    assert "passed" in out
+
+
 def test_circuit_packed_forward_isolated():
-    out = _run_isolated("tests/test_circuit_packed.py")
+    out = _run_isolated("tests/test_circuit_packed.py",
+                        extra_env={"_FHE_KSEL": "forward"})
     assert "passed" in out
 
 
