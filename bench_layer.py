@@ -245,6 +245,11 @@ def main_packed(S=128, boot=True):
         if booter is not None:
             getattr(booter, "_fold_cache", {}).clear()
         ev.release_device_keys()
+        # level tables (key-switch + rescale pytrees) hold device arrays
+        # per touched level — free them too: the S=700 decrypt OOM'd at
+        # the arena high-water until every resident class was dropped
+        ev.ctx._ks.clear()
+        ev.ctx._rescale.clear()
         del keys
         gc.collect()
         vals = None

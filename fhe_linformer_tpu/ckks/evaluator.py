@@ -117,6 +117,12 @@ class Evaluator:
         op raises a descriptive error via _require_keys."""
         self.prefetch_host_sk()
         self.keys = None
+        # the fused-op key STACKS are device copies of key material too
+        # (~250 MB each at production: baby/tree/deinterleave LRUs) —
+        # round 4's S=700 decrypt kept OOMing until these were dropped
+        self._baby_stack = None
+        if hasattr(self, "_tree_stacks"):
+            self._tree_stacks.clear()
         self._keys_released = True
 
     def _require_keys(self, what: str):
@@ -351,12 +357,23 @@ class Evaluator:
             assert sk is not None, "secret key not retained"
             self._sk_host = np.asarray(sk.eval_full)
         m = min(crt_limbs, ct.nl)
+
         # slice ON DEVICE before the download: the full-limb transfer's
         # d2h staging failed with ResourceExhausted at the post-layer
         # arena high-water (S=700 round-4 campaign) — only the m CRT rows
-        # are needed, an 8-20x smaller transfer
-        c0 = np.asarray(ct.c0[..., :m, :]).astype(np.uint64)
-        c1 = np.asarray(ct.c1[..., :m, :]).astype(np.uint64)
+        # are needed, an 8-20x smaller transfer.  Per-limb fallback: even
+        # the sliced staging can fail right at the high-water; one
+        # (..., N) row at a time needs only ~128 KB of headroom.
+        def _d2h(arr):
+            try:
+                return np.asarray(arr[..., :m, :])
+            except Exception:
+                return np.stack(
+                    [np.asarray(arr[..., i, :]) for i in range(m)],
+                    axis=-2)
+
+        c0 = _d2h(ct.c0).astype(np.uint64)
+        c1 = _d2h(ct.c1).astype(np.uint64)
         s = self._sk_host[:m, :].astype(np.uint64)
         qs = np.asarray(ctx.qs[:m], np.uint64).reshape(-1, 1)
         m_eval = (c0 + c1 * s % qs) % qs          # products < 2^60 exact

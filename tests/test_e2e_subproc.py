@@ -65,7 +65,16 @@ def test_circuit_packed_units_isolated():
 
 def test_circuit_packed_forward_isolated():
     out = _run_isolated("tests/test_circuit_packed.py",
-                        extra_env={"_FHE_KSEL": "forward"})
+                        extra_env={"_FHE_KSEL":
+                                   "forward and not bootstrapped"})
+    assert "passed" in out
+
+
+def test_circuit_packed_boot_forward_isolated():
+    # the third compile-heavy forward in one interpreter still crossed
+    # the fragility threshold — it gets its own process
+    out = _run_isolated("tests/test_circuit_packed.py",
+                        extra_env={"_FHE_KSEL": "bootstrapped"})
     assert "passed" in out
 
 
