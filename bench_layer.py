@@ -137,6 +137,10 @@ def main_packed(S=128, boot=True):
     input_nl = 12 if boot else None
     x_ct, xe, xf, S_total = circ.encrypt_inputs(emb, nl=input_nl)
     x_ct.c0.block_until_ready()
+    # establish the d2h staging path while the arena is near-empty: at
+    # the post-layer high-water even a 3-row download ResourceExhausts
+    # (S=700, rounds 3-4) — transfers done EARLY appear to survive
+    np.asarray(x_ct.c0[:1, :1, :])
     print(f"encrypt_inputs {time.time()-t0:.1f}s S_total={S_total} "
           f"chunks={x_ct.c0.shape[0]} nl={x_ct.nl}", flush=True)
 

@@ -41,8 +41,12 @@ STEPS = {
     # (the timing came from the first pass; this run is for the decrypt
     # check), chunked boots, smaller heavy-op chunks
     "s700": ([PY, "-u", "bench_layer.py", "700", "--boot", "--packed"],
-             9000, {"FHE_BOOT2": "0", "FHE_BOOT_CHUNK": "3",
-                    "FHE_STAGE_REPS": "1", "FHE_HEAVY_CHUNK": "6"}),
+             9000, {"FHE_BOOT2": "0", "FHE_BOOT_CHUNK": "2",
+                    "FHE_STAGE_REPS": "1", "FHE_HEAVY_CHUNK": "4",
+                    # cap the arena so the post-layer d2h keeps headroom
+                    # (the decrypt wedge is the arena high-water, not our
+                    # resident buffers — three runs eliminated those)
+                    "XLA_PYTHON_CLIENT_MEM_FRACTION": "0.8"}),
     "s128b2": ([PY, "-u", "bench_layer.py", "128", "--boot", "--packed"],
                7200, {"FHE_BOOT2": "1"}),
     "s700b2": ([PY, "-u", "bench_layer.py", "700", "--boot", "--packed"],
