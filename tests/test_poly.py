@@ -68,3 +68,39 @@ def test_eval_exp_gadget(ev):
     out = g.eval_exp(ct)
     np.testing.assert_allclose(np.real(ev.decrypt(out)), np.exp(8.0 * z),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_fused_cheb_nodes_match_unfused():
+    """square_double_minus_one / mul_double_sub (the single-dispatch
+    Chebyshev ladder nodes) match the unfused mul/scalar/const chains."""
+    import numpy as np
+    from fhe_linformer_tpu.ckks import (CKKSConfig, Context, Evaluator,
+                                        generate_keys)
+    cfg = CKKSConfig(n=256, scale_bits=26, num_scaling=12, dnum=2, seed=61)
+    ctx = Context(cfg)
+    ev = Evaluator(ctx, generate_keys(ctx, rotations=()))
+    rng = np.random.default_rng(2)
+    xa = rng.uniform(-0.9, 0.9, cfg.slots)
+    xb = rng.uniform(-0.9, 0.9, cfg.slots)
+    xc = rng.uniform(-0.9, 0.9, cfg.slots)
+    a = ev.encrypt(xa)
+    b = ev.encrypt(xb)
+    c = ev.encrypt(xc)
+
+    # narrow: 2a^2 - 1
+    got = np.real(ev.decrypt(ev.square_double_minus_one(a)))
+    np.testing.assert_allclose(got, 2 * xa * xa - 1, atol=2e-3)
+    # narrow: 2ab - c (c sits one level above the output by construction)
+    got = np.real(ev.decrypt(ev.mul_double_sub(a, b, c)))
+    np.testing.assert_allclose(got, 2 * xa * xb - xc, atol=2e-3)
+
+    # wide: operands must sit at the PAIRED scale ~delta^2 (the wide
+    # chain's invariant; a narrow-scale input would quantize to ~1)
+    wide_s = ctx.delta * ctx.delta
+    aw = ev.encrypt(xa, scale=wide_s)
+    bw = ev.encrypt(xb, scale=wide_s)
+    cw = ev.encrypt(xc, scale=wide_s)
+    got = np.real(ev.decrypt(ev.square_double_minus_one(aw, wide=True)))
+    np.testing.assert_allclose(got, 2 * xa * xa - 1, atol=2e-3)
+    got = np.real(ev.decrypt(ev.mul_double_sub(aw, bw, cw, wide=True)))
+    np.testing.assert_allclose(got, 2 * xa * xb - xc, atol=2e-3)
