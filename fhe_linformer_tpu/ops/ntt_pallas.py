@@ -129,7 +129,11 @@ def _call(x, t: LimbTables, kernel, w_a, w_b, tw, tw_s, interpret):
     L, n = x.shape[-2], x.shape[-1]
     n1, n2 = t.n1, t.n2
     B = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    nb = min(B, NB)
+    # batch tile scales inversely with ring size: at n=2^16 the NB=8
+    # (nb,1,n1,n2) u32 blocks are 16 MB each and overflow the 16 MB
+    # scoped-vmem stack (measured r128c, round 4); halving nb per ring
+    # doubling keeps block bytes constant (~8 MB at 2^15)
+    nb = min(B, NB, max(1, (NB * (1 << 15)) // n))
     pad = (-B) % nb
     # Mosaic requires the last two block dims (8,128)-aligned or full:
     # expose the four-step matrix view as explicit leading-(B,L) 4D arrays.

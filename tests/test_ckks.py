@@ -157,3 +157,39 @@ def test_probe_family(ev):
                                z[:16:4], atol=2e-4)
     lo, hi = ev.probe_min_max(ct)
     assert abs(lo - z.min()) < 2e-4 and abs(hi - z.max()) < 2e-4
+
+
+def test_decrypt_slots_device_matches_host(ev):
+    """The on-device targeted slot decrypt (the S=700 verification path:
+    d2h of len(idx) floats instead of whole-ct downloads) must agree
+    with decrypt_host on fresh AND post-mul ciphertexts, including
+    slots whose coefficients exercise the negative-carry centering
+    (the round-4 f32-ulp bug)."""
+    z = _rand(CFG.slots, 7)
+    ct = ev.encrypt(z)
+    idx = [0, 3, 17, 100, CFG.slots - 1]
+    host = np.real(ev.decrypt_host(ct))
+    dev = ev.decrypt_slots_device(ct, idx)
+    assert dev.shape == (len(idx),)
+    np.testing.assert_allclose(dev, host[idx], atol=5e-4)
+    # a deeper ct: product changes scale and magnitudes
+    ct2 = ev.mul(ct, ct)
+    h2 = np.real(ev.decrypt_host(ct2))
+    d2 = ev.decrypt_slots_device(ct2, idx)
+    np.testing.assert_allclose(d2, h2[idx], atol=5e-4)
+
+
+def test_decrypt_slots_device_batched(ev):
+    """Batched ciphertexts decode per batch element (the packed bench
+    reads chunk 0)."""
+    zs = [_rand(CFG.slots, 11 + i) for i in range(3)]
+    cts = [ev.encrypt(z) for z in zs]
+    import jax.numpy as jnp
+    c0 = jnp.stack([c.c0 for c in cts])
+    c1 = jnp.stack([c.c1 for c in cts])
+    ctb = cts[0].with_data(c0, c1)
+    idx = [2, 5, 64]
+    dev = ev.decrypt_slots_device(ctb, idx)
+    assert dev.shape == (3, len(idx))
+    for i, z in enumerate(zs):
+        np.testing.assert_allclose(dev[i], z[idx], atol=5e-3)
