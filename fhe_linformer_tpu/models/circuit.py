@@ -445,6 +445,14 @@ class EncryptedLinformer:
         for lw in (extra_layers or []):
             xe2 = self.ef_project(x, lw.E_w[:, :S_total], lw.E_b, S_total)
             xf2 = self.ef_project(x, lw.F_w[:, :S_total], lw.F_b, S_total)
+            # the finished layer's encoded diagonals/masks (~GBs of eval
+            # rows at production) are dead weight for the next layer's
+            # HBM budget — re-encoding shared masks is seconds, an OOM
+            # mid-GELU kills the run (cfg5, round-4 campaign)
+            self.ev._enc_cache.clear()
+            self._pt_cache.clear()
+            import gc
+            gc.collect()
             saved = self.w
             self.w = lw
             try:

@@ -54,11 +54,12 @@ STEPS = {
     "bsgs": ([PY, "-u", "tools/ab_bsgs.py"], 2400, {}),
     "cfg5": ([PY, "-u", "tools/config5_run.py"], 9000,
              {"FHE_BOOT2": "0"}),
-    # ring 2^16: the four-step Pallas NTT's (n2, n1) tile overflows the
-    # 16M scoped vmem at this ring (measured: 16.5M); the XLA NTT path
-    # runs it (slower — kernel retiling is a round-5 queue item)
+    # ring 2^16 artifact run stays on the XLA NTT path for reliability;
+    # the Pallas batch-tile fix (ntt_pallas.py nb scaling) has its own
+    # dedicated TPU validation step below
     "r128c": ([PY, "-u", "tools/ring128c_run.py"], 7200,
               {"FHE_BOOT2": "0", "FHE_NTT_PALLAS": "0"}),
+    "p216": ([PY, "-u", "tools/pallas216_check.py"], 1800, {}),
     "bench": ([PY, "-u", "bench.py"], 5400, {}),
 }
 
