@@ -128,7 +128,10 @@ def main_packed(S=128, boot=True):
     params, inter = _calibrated(w, emb, inv_degree=deg, gelu_degree=deg,
                                 tanh_degree=247 if boot else 27,
                                 exp_pow8=False)
-    circ = PackedLinformer(ev, w, params, bs=bs)
+    # FHE_CHUNK_TOKENS < nb re-chunks the sequence for a dp mesh
+    # (e.g. 96 at S=700 -> C=8; ROADMAP round-5 queue #5)
+    chunk_tokens = int(os.environ.get("FHE_CHUNK_TOKENS", "0")) or None
+    circ = PackedLinformer(ev, w, params, bs=bs, chunk_tokens=chunk_tokens)
 
     t0 = time.time()
     # pre-exp chain depth: matmul(1) + K_rep mask(1) + scores mul(1) +
@@ -146,7 +149,11 @@ def main_packed(S=128, boot=True):
 
     results = {"S_total": S_total, "boot": boot, "packed": True,
                "basis": len(ctx.basis), "chunks": int(x_ct.c0.shape[0])}
-    out_name = f"bench_layer_S{S}_packed{'_boot' if boot else ''}.json"
+    if chunk_tokens:
+        results["chunk_tokens"] = chunk_tokens
+    ck_tag = f"_c{x_ct.c0.shape[0]}" if chunk_tokens else ""
+    out_name = (f"bench_layer_S{S}_packed{ck_tag}"
+                f"{'_boot' if boot else ''}.json")
 
     def persist():
         # atomic: dump to a temp then rename, so a crash can never leave a

@@ -299,23 +299,35 @@ def main():
               "chunks": C,
               "collectives_per_ks": inv}
         F_PAR = 0.85
+        S_tok = bl.get("S_total", S) + 1
+        nb_full = 128
         for N in (4, 8, 16):
             best = None
             for dp in (1, 2, 4, 8, 16):
-                if dp > N or dp > C:
+                if dp > N:
                     continue
+                # device_put needs C % dp == 0: re-chunk to C_re = dp *
+                # ceil(C/dp) via chunk_tokens (BlockOps; per-ct op cost is
+                # occupancy-independent, so per-chunk cost stays meas/C)
+                C_re = dp * _math.ceil(C / dp)
+                ck = -(-S_tok // C_re)
+                if C_re > C and ck > nb_full:
+                    continue
+                per_dev_chunks = C_re // dp
                 limb = min(N // dp, 8)
-                dp_eff = C / _math.ceil(C / dp)   # chunk imbalance
                 limb_speed = 1.0 / ((1 - F_PAR) + F_PAR / limb)
-                comm = (nks / dp_eff) * psum_b / ICI_GBPS \
+                comm = (nks / dp) * psum_b / ICI_GBPS \
                     + 32 * CT_BYTES / ICI_GBPS * (1 if dp > 1 else 0)
-                layer_n = meas / (dp_eff * limb_speed) + comm
-                cand = (layer_n, dp, limb)
+                layer_n = (meas / C) * per_dev_chunks / limb_speed + comm
+                cand = (layer_n, dp, limb, C_re)
                 if best is None or cand < best:
                     best = cand
-            layer_n, dp, limb = best
+            layer_n, dp, limb, C_re = best
             sc[f"chips_{N}_layer_s_pred"] = round(layer_n, 3)
             sc[f"chips_{N}_mesh"] = f"dp{dp}xlimb{limb}"
+            if C_re != C:
+                sc[f"chips_{N}_rechunk"] = \
+                    f"C={C_re} (chunk_tokens={-(-S_tok // C_re)})"
             sc[f"chips_{N}_efficiency"] = round(meas / (N * layer_n), 3)
         report[f"packed_boot_layer_S{S}"] = sc
     if "packed_boot_layer_S128" in report:

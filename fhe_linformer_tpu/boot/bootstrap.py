@@ -63,6 +63,12 @@ class BootConfig:
     # mod-raise: at delta 2^26 / q0 2^30 that is |m| < 8/boost — use 2 for
     # circuit refresh sites (exp outputs reach ~4), 4 for |m| <= 2 probes.
     scale_boost: int = 1
+    # msg_bound: the |message| bound the mod-raise guard assumes (ROADMAP
+    # round-5 queue #4 "boost=8 with range guards"): boost * scale *
+    # msg_bound must stay under q0.  Default 2 matches the historical
+    # guard; circuits that normalize refresh inputs to |m| <= 1 can claim
+    # one more boost doubling (= ~1 more output bit) with msg_bound=1.
+    msg_bound: float = 2.0
 
     @classmethod
     def wide_production(cls, scale_boost: int = 2) -> "BootConfig":
@@ -344,7 +350,8 @@ class Bootstrapper:
             # tracked scale, so the output message is unchanged; noise
             # injected before the StC beta fold is amplified by q0/s_in
             # less.  mod_raise needs |m| * s_in < q0/2.
-            assert f * ct.scale * 2 < self.q0, (f, ct.scale, self.q0)
+            assert f * ct.scale * self.cfg.msg_bound < self.q0, \
+                (f, ct.scale, self.cfg.msg_bound, self.q0)
             ct = self.ev.mul_scalar_int(ct, f)
             ct.scale = ct.scale * f
         s_in = ct.scale

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -120,7 +121,8 @@ def cmd_infer(args):
         # keys must include the BSGS baby shifts (cmd_keygen generates
         # them for every preset)
         from .models.circuit_packed import PackedLinformer
-        pc = PackedLinformer(ev, w, p.circuit, d=p.d)
+        ck = int(os.environ.get("FHE_CHUNK_TOKENS", "0")) or None
+        pc = PackedLinformer(ev, w, p.circuit, d=p.d, chunk_tokens=ck)
         t0 = time.time()
         # input_nl=12: the measured pre-exp chain depth (bench_layer.py) —
         # 8 ran out inside the exp Taylor and leaned on the defensive
@@ -181,7 +183,6 @@ def cmd_eval(args):
     encrypted-vs-golden argmax agreement rate — the task-level parity
     number the reference only ever produced one sample at a time
     (main_2.cpp decrypt -> softmax -> argmax)."""
-    import os
     from .models import golden
     from .io.weights import load_reference_weights
     from .client.pipeline import load_sample_embeddings, softmax_argmax
@@ -209,7 +210,9 @@ def cmd_eval(args):
             bc = BootConfig.wide_production() if p.name.endswith("-w") \
                 else None
             booter = Bootstrapper(ev, bc)
-        circ = PackedLinformer(ev, w, p.circuit, d=p.d)
+        ck = int(os.environ.get("FHE_CHUNK_TOKENS", "0")) or None
+        circ = PackedLinformer(ev, w, p.circuit, d=p.d,
+                               chunk_tokens=ck)
     correct = total = 0
     enc_correct = enc_agree = 0
     for d in dirs:

@@ -36,11 +36,19 @@ from .packed import PackedOps
 
 
 class BlockOps:
-    def __init__(self, ev: Evaluator, d: int = 128, bs: int = 16):
+    def __init__(self, ev: Evaluator, d: int = 128, bs: int = 16,
+                 chunk_tokens: int | None = None):
         self.ev = ev
         self.d = d
         self.slots = ev.ctx.cfg.slots
         self.nb = self.slots // d
+        # chunk_tokens < nb trades slot occupancy for a chunk count that
+        # divides a dp mesh (e.g. 96 tokens/ct at S=700 -> C=8 chunks for
+        # an 8/16-chip mesh vs C=6 at full nb=128).  Every op is
+        # per-token within blocks, so partial occupancy is the same
+        # contract the final short chunk already exercises.
+        self.chunk_tokens = min(chunk_tokens or self.nb, self.nb)
+        assert self.chunk_tokens > 0
         self.bs = min(bs, d)
         self.ops = PackedOps(ev, d)
         self._diag_cache: dict = {}
@@ -63,12 +71,21 @@ class BlockOps:
         return out.reshape(-1)
 
     def pack_chunks(self, X: np.ndarray) -> np.ndarray:
-        """(S, d) -> (ceil(S/nb), slots) chunked block-major slots."""
-        C = -(-X.shape[0] // self.nb)
+        """(S, d) -> (ceil(S/chunk_tokens), slots) chunked block-major
+        slots (chunk_tokens = nb unless re-chunked for a dp mesh)."""
+        step = self.chunk_tokens
+        C = -(-X.shape[0] // step)
         out = np.zeros((C, self.slots))
         for c in range(C):
-            out[c] = self.pack(X[c * self.nb: (c + 1) * self.nb])
+            out[c] = self.pack(X[c * step: (c + 1) * step])
         return out
+
+    def unpack_chunks(self, slots: np.ndarray, S: int) -> np.ndarray:
+        """(C, slots) -> (S, d): inverse of pack_chunks (host)."""
+        step = self.chunk_tokens
+        rows = [self.unpack(s, min(step, S - c * step))
+                for c, s in enumerate(np.asarray(slots))]
+        return np.concatenate(rows, 0)
 
     def unpack(self, slots: np.ndarray, T: int) -> np.ndarray:
         """Inverse of pack (host, for tests/decrypt)."""

@@ -57,12 +57,15 @@ def _mul_bc(ev, a, b):
 class PackedLinformer:
     def __init__(self, ev: Evaluator, w: LinformerWeights,
                  params: CircuitParams | None = None, d: int | None = None,
-                 bs: int = 16, batch_chunks: bool = False):
+                 bs: int = 16, batch_chunks: bool = False,
+                 chunk_tokens: int | None = None):
         self.ev = ev
         self.w = w
         self.p = params or CircuitParams()
         self.d = d or w.d
-        self.bops = BlockOps(ev, self.d, bs=bs)
+        # chunk_tokens: tokens per ciphertext chunk (< nb re-chunks the
+        # sequence so C divides a dp mesh; ROADMAP round-5 queue #5)
+        self.bops = BlockOps(ev, self.d, bs=bs, chunk_tokens=chunk_tokens)
         self.ops = self.bops.ops
         self.g = Gadgets(ev)
         # batch_chunks: run attention's per-chunk score/mix work as ONE

@@ -28,12 +28,16 @@ from .circuit import shard_ciphertext
 
 
 def run_packed_forward_dp(mesh: Mesh, S_total: int = 32, seed: int = 11,
-                          degree: int = 13, check: bool = True):
+                          degree: int = 13, check: bool = True,
+                          chunk_tokens: int | None = None):
     """Block-major packed Linformer forward with the chunk axis dp-sharded.
 
     Tiny ring (n=256, slots=128) / d=8 model -> nb=16 tokens per chunk,
     S_total=32 gives C=2 chunks (any multiple of 16 works; pick
-    S_total = 16*dp to give every device one chunk).  The identical
+    S_total = 16*dp to give every device one chunk).  chunk_tokens < nb
+    re-chunks the sequence so C matches the mesh even when S_total does
+    not divide nb (the production shape: S=700 at chunk_tokens=96 ->
+    C=8 for an 8/16-chip mesh; ROADMAP round-5 queue #5).  The identical
     circuit code runs the d=128 / n=2^15 production shapes on real chips
     (models/circuit_packed.py is dimension-parameterized).
     Returns (logits, golden_logits)."""
@@ -69,7 +73,8 @@ def run_packed_forward_dp(mesh: Mesh, S_total: int = 32, seed: int = 11,
             inter["norm2"][:1] @ w.Wp.T + w.bp[None]).max()),
         exp_pow8=False,
     )
-    circ = PackedLinformer(ev, w, params, bs=BS, batch_chunks=True)
+    circ = PackedLinformer(ev, w, params, bs=BS, batch_chunks=True,
+                           chunk_tokens=chunk_tokens)
 
     x_ct, xe, xf, S = circ.encrypt_inputs(emb)
     assert x_ct.c0.shape[0] > 1, "need >1 chunk for a dp axis"

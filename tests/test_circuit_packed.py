@@ -140,6 +140,41 @@ def test_packed_forward_multichunk(setup):
     np.testing.assert_allclose(logits, want, atol=0.06, rtol=0.06)
 
 
+def test_pack_chunks_rechunked(setup):
+    """chunk_tokens < nb (dp re-chunking, ROADMAP round-5 queue #5):
+    host packing splits at chunk_tokens and round-trips."""
+    ev, w = setup
+    bops = BlockOps(ev, D, bs=BS, chunk_tokens=12)
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 0.5, (20, D))
+    slots = bops.pack_chunks(X)
+    assert slots.shape[0] == 2          # ceil(20/12), was ceil(20/16)=2..
+    np.testing.assert_allclose(bops.unpack_chunks(slots, 20), X)
+    Y = rng.normal(0, 0.5, (25, D))
+    s2 = bops.pack_chunks(Y)
+    assert s2.shape[0] == 3             # ceil(25/12)=3 vs ceil(25/16)=2
+    np.testing.assert_allclose(bops.unpack_chunks(s2, 25), Y)
+
+
+@forward_mark
+def test_packed_forward_rechunked(setup):
+    """Re-chunked forward (chunk_tokens=12 < nb=16): every chunk partially
+    occupied, C=2 at S=20 — the execution shape dp meshes want at S=700
+    (chunk_tokens=96 -> C=8)."""
+    ev, w = setup
+    rng = np.random.default_rng(13)
+    S = 20
+    emb = rng.normal(0, 0.3, (S - 1, D))
+    params = _calibrated_params(w, emb)
+    circ = PackedLinformer(ev, w, params, bs=BS, chunk_tokens=12)
+    out = circ.forward(emb)
+    logits = circ.decrypt_logits(out)
+    probs, inter = golden.forward(w, emb, return_intermediates=True)
+    want = inter["logits"]
+    assert np.argmax(logits) == np.argmax(want), (logits, want)
+    np.testing.assert_allclose(logits, want, atol=0.06, rtol=0.06)
+
+
 @forward_mark
 def test_packed_forward_bootstrapped(setup):
     """The packed circuit's bootstrap hooks (mid-exp / pre-GELU / pooler

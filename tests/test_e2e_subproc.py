@@ -66,7 +66,16 @@ def test_circuit_packed_units_isolated():
 def test_circuit_packed_forward_isolated():
     out = _run_isolated("tests/test_circuit_packed.py",
                         extra_env={"_FHE_KSEL":
-                                   "forward and not bootstrapped"})
+                                   "forward and not bootstrapped "
+                                   "and not rechunked"})
+    assert "passed" in out
+
+
+def test_circuit_packed_rechunked_isolated():
+    # chunk_tokens < nb (dp re-chunking) — own process like the other
+    # compile-heavy forwards (XLA:CPU in-process fragility)
+    out = _run_isolated("tests/test_circuit_packed.py",
+                        extra_env={"_FHE_KSEL": "forward and rechunked"})
     assert "passed" in out
 
 

@@ -41,17 +41,25 @@ def main(S=32):
     t0 = time.time()
     ctx = Context(preset.ckks)
     print(f"context {time.time()-t0:.1f}s", flush=True)
-    rots = set()
+    pow2 = set()
     s = 1
     while s < preset.ckks.slots:
-        rots |= {s, -s}
+        pow2 |= {s, -s}
         s *= 2
     wide = os.environ.get("FHE_WIDE_BOOT", "1") == "1"
     bootcfg = BootConfig.wide_production() if wide else BootConfig()
-    rots |= set(Bootstrapper.rotations_for(preset.ckks.n, bootcfg))
+    boot_rots = set(Bootstrapper.rotations_for(preset.ckks.n, bootcfg))
+    # circuit-only pow2 shifts at the reduced basis (KSKey.max_nl) —
+    # the full-basis variant (round-4 first attempt) kept ~30 extra
+    # 79-limb keys resident and OOM'd the first-layer GELU on the
+    # shared chip (campaign_r4.json cfg5)
+    reduced = tuple(sorted(pow2 - boot_rots))
     t0 = time.time()
-    keys = generate_keys(ctx, rotations=tuple(sorted(rots)), conj=True)
-    print(f"keys {time.time()-t0:.1f}s ({len(rots)} rotations)", flush=True)
+    keys = generate_keys(ctx, rotations=tuple(sorted(boot_rots)), conj=True,
+                         rotations_reduced=reduced,
+                         reduced_max_nl=25 if wide else 22)
+    print(f"keys {time.time()-t0:.1f}s ({len(boot_rots)} full + "
+          f"{len(reduced)} reduced rotations)", flush=True)
     ev = Evaluator(ctx, keys)
     ev.prefetch_host_sk()
     t0 = time.time()

@@ -29,7 +29,9 @@ def main(nlog=12, ba=3, bb=3):
     cfg = CKKSConfig(n=1 << nlog, scale_bits=26, num_scaling=ns, dnum=3,
                      seed=11, secret_hw=32)
     ctx = Context(cfg)
-    bcfg = BootConfig(level_budget=(ba, bb), wide=wide, scale_boost=boost)
+    mb = float(os.environ.get("PROBE_MSG_BOUND", "2.0"))
+    bcfg = BootConfig(level_budget=(ba, bb), wide=wide, scale_boost=boost,
+                      msg_bound=mb)
     print(f"wide={wide} boost={boost} num_scaling={ns}", flush=True)
     rots = Bootstrapper.rotations_for(cfg.n, bcfg)
     t0 = time.time()

@@ -47,13 +47,22 @@ STEPS = {
                     # (the decrypt wedge is the arena high-water, not our
                     # resident buffers — three runs eliminated those)
                     "XLA_PYTHON_CLIENT_MEM_FRACTION": "0.8"}),
+    # S=700 re-chunked at 96 tokens/ct -> C=8 chunks (divides an 8/16-chip
+    # dp mesh; ROADMAP round-5 queue #5) — measures the slot-waste vs
+    # chunk-count trade single-chip before committing the scaling model
+    "s700c8": ([PY, "-u", "bench_layer.py", "700", "--boot", "--packed"],
+               9000, {"FHE_BOOT2": "0", "FHE_BOOT_CHUNK": "2",
+                      "FHE_STAGE_REPS": "1", "FHE_HEAVY_CHUNK": "4",
+                      "FHE_CHUNK_TOKENS": "96",
+                      "XLA_PYTHON_CLIENT_MEM_FRACTION": "0.8"}),
     "s128b2": ([PY, "-u", "bench_layer.py", "128", "--boot", "--packed"],
                7200, {"FHE_BOOT2": "1"}),
     "s700b2": ([PY, "-u", "bench_layer.py", "700", "--boot", "--packed"],
                9000, {"FHE_BOOT2": "1"}),
     "bsgs": ([PY, "-u", "tools/ab_bsgs.py"], 2400, {}),
     "cfg5": ([PY, "-u", "tools/config5_run.py"], 9000,
-             {"FHE_BOOT2": "0"}),
+             {"FHE_BOOT2": "0", "FHE_HEAVY_CHUNK": "4",
+              "XLA_PYTHON_CLIENT_MEM_FRACTION": "0.8"}),
     # ring 2^16 artifact run stays on the XLA NTT path for reliability;
     # the Pallas batch-tile fix (ntt_pallas.py nb scaling) has its own
     # dedicated TPU validation step below
