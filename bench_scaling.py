@@ -299,7 +299,10 @@ def main():
               "chunks": C,
               "collectives_per_ks": inv}
         F_PAR = 0.85
-        S_tok = bl.get("S_total", S) + 1
+        # S_total already counts the prepended CLS token (client_preprocess
+        # records x_in.shape[0]) — no +1 (advisor r4: the +1 sized the
+        # re-chunk suggestions for a phantom 701-token sequence)
+        S_tok = bl.get("S_total", S)
         nb_full = 128
         for N in (4, 8, 16):
             best = None
@@ -316,7 +319,10 @@ def main():
                 per_dev_chunks = C_re // dp
                 limb = min(N // dp, 8)
                 limb_speed = 1.0 / ((1 - F_PAR) + F_PAR / limb)
-                comm = (nks / dp) * psum_b / ICI_GBPS \
+                # re-chunking to C_re chunks inflates the per-layer
+                # keyswitch count by ~C_re/C (per-chunk trees repeat);
+                # scale the comm term accordingly (advisor r4)
+                comm = (nks * (C_re / C) / dp) * psum_b / ICI_GBPS \
                     + 32 * CT_BYTES / ICI_GBPS * (1 if dp > 1 else 0)
                 layer_n = (meas / C) * per_dev_chunks / limb_speed + comm
                 cand = (layer_n, dp, limb, C_re)

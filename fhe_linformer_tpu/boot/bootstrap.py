@@ -63,11 +63,14 @@ class BootConfig:
     # mod-raise: at delta 2^26 / q0 2^30 that is |m| < 8/boost — use 2 for
     # circuit refresh sites (exp outputs reach ~4), 4 for |m| <= 2 probes.
     scale_boost: int = 1
-    # msg_bound: the |message| bound the mod-raise guard assumes (ROADMAP
-    # round-5 queue #4 "boost=8 with range guards"): boost * scale *
-    # msg_bound must stay under q0.  Default 2 matches the historical
-    # guard; circuits that normalize refresh inputs to |m| <= 1 can claim
-    # one more boost doubling (= ~1 more output bit) with msg_bound=1.
+    # msg_bound: TWICE the |message| bound the mod-raise guard assumes
+    # (advisor r4: the guard is boost * scale * msg_bound < q0 while
+    # mod-raise safety needs |m| * s_in < q0/2, so msg_bound=M certifies
+    # |m| <= M/2).  Default 2 certifies |m| <= 1; circuit refresh sites
+    # whose exp outputs reach ~4 rely on the measured 2x mod-raise margin
+    # (|I| <= 7 at hw=32, K=16 — ROADMAP r4).  Circuits that normalize
+    # refresh inputs to |m| <= 1/2 can claim one more boost doubling
+    # (= ~1 more output bit) with msg_bound=1.
     msg_bound: float = 2.0
 
     @classmethod

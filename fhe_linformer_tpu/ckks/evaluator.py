@@ -417,7 +417,8 @@ class Evaluator:
              with x split into lo16/hi16/carry planes so f32
              accumulation error stays ~1e-5.
 
-        Parity vs decrypt_host: tests/test_scheme.py."""
+        Parity vs decrypt_host: tests/test_ckks.py (decrypt_slots_device
+        tests)."""
         ctx = self.ctx
         m = min(crt_limbs, ct.nl)
         ct = self.drop_to(ct, m)
@@ -676,14 +677,40 @@ class Evaluator:
         plan_c = ctx.rescale_tables(nl_out + 1)
         qc = jnp.asarray(qs_c.astype(np.uint32))
         if wide:
-            c0, c1 = _cheb_mulsub2_core(a.c0, a.c1, b.c0, b.c1, c.c0, c.c1,
-                                        kb, ka, ks, plan1, plan2, plan_c,
-                                        vc, vc_s, qc)
+            def core(a0, a1, b0, b1, cc0, cc1):
+                return _cheb_mulsub2_core(a0, a1, b0, b1, cc0, cc1,
+                                          kb, ka, ks, plan1, plan2, plan_c,
+                                          vc, vc_s, qc)
         else:
-            c0, c1 = _cheb_mulsub_core(a.c0, a.c1, b.c0, b.c1, c.c0, c.c1,
-                                       kb, ka, ks, plan1, plan_c, vc, vc_s,
-                                       qc)
+            def core(a0, a1, b0, b1, cc0, cc1):
+                return _cheb_mulsub_core(a0, a1, b0, b1, cc0, cc1,
+                                         kb, ka, ks, plan1, plan_c, vc,
+                                         vc_s, qc)
+        c0, c1 = self._batched_fused(
+            core, nl, (a.c0, a.c1, b.c0, b.c1, c.c0, c.c1))
         return Ciphertext(c0, c1, nl_out, s_out)
+
+    def _batched_fused(self, core, nl, arrays):
+        """Batch-chunked dispatch of a fused Chebyshev core: deep-chain
+        token batches (config-5's 33 cts x 70+ limbs) OOM the shared chip
+        when squared in one graph — same _heavy_chunk discipline as mul()
+        (campaign_r4 cfg5 postmortem).  `arrays` lead with the chunked
+        ciphertext components; all must share the batch shape."""
+        bshape = arrays[0].shape[:-2]
+        chunk = self._heavy_chunk(nl)
+        B = int(np.prod(bshape)) if bshape else 1
+        if not bshape or (B <= chunk and len(bshape) <= 1):
+            return core(*arrays)
+        flat = [x.reshape((-1,) + x.shape[len(bshape):]) for x in arrays]
+        outs = None
+        for s in range(0, B, chunk):
+            res = core(*(x[s: s + chunk] for x in flat))
+            if outs is None:
+                outs = [[] for _ in res]
+            for o, r in zip(outs, res):
+                o.append(r)
+        return tuple(jnp.concatenate(o).reshape(bshape + o[0].shape[1:])
+                     for o in outs)
 
     def square_double_minus_one(self, a: Ciphertext,
                                 wide: bool = False) -> Ciphertext:
@@ -717,10 +744,12 @@ class Evaluator:
         assert 0 < v < 1 << 62
         m1 = jnp.asarray((((-v) % qs).reshape(-1, 1)).astype(np.uint32))
         if wide:
-            c0, c1 = _cheb_sq2_core(a.c0, a.c1, kb, ka, ks, plan1, plan2,
-                                    m1)
+            def core(a0, a1):
+                return _cheb_sq2_core(a0, a1, kb, ka, ks, plan1, plan2, m1)
         else:
-            c0, c1 = _cheb_sq_core(a.c0, a.c1, kb, ka, ks, plan1, m1)
+            def core(a0, a1):
+                return _cheb_sq_core(a0, a1, kb, ka, ks, plan1, m1)
+        c0, c1 = self._batched_fused(core, nl, (a.c0, a.c1))
         out = Ciphertext(c0, c1, nl_out, s_out)
         out.scale = s_out
         return out

@@ -19,6 +19,9 @@ def test_dryrun_multichip_8():
     env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
     env.pop("PJRT_LIBRARY_PATH", None)
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/fhe_tpu_jax_cache_mesh"
+    # the driver's budgeted gate skips two of the parity checks; the test
+    # suite keeps the full coverage (round-4 verdict #1)
+    env["FHE_DRYRUN_FULL"] = "1"
     r = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],

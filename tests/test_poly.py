@@ -104,3 +104,36 @@ def test_fused_cheb_nodes_match_unfused():
     np.testing.assert_allclose(got, 2 * xa * xa - 1, atol=2e-3)
     got = np.real(ev.decrypt(ev.mul_double_sub(aw, bw, cw, wide=True)))
     np.testing.assert_allclose(got, 2 * xa * xb - xc, atol=2e-3)
+
+
+def test_fused_cheb_nodes_batch_chunked(monkeypatch):
+    """The fused Chebyshev nodes chunk large token batches through
+    _batched_fused (config-5's 33-ct deep-chain batch OOM'd the shared
+    chip when squared in one graph, campaign_r4).  Chunked output must be
+    BIT-EXACT vs the single-graph path."""
+    import jax.numpy as jnp
+    from fhe_linformer_tpu.ckks import (CKKSConfig, Context, Evaluator,
+                                        generate_keys)
+    cfg = CKKSConfig(n=256, scale_bits=26, num_scaling=12, dnum=2, seed=62)
+    ctx = Context(cfg)
+    ev = Evaluator(ctx, generate_keys(ctx, rotations=()))
+    rng = np.random.default_rng(5)
+    xs = rng.uniform(-0.9, 0.9, (3, cfg.slots))
+    cts = [ev.encrypt(x) for x in xs]
+    bat = cts[0].with_data(jnp.stack([c.c0 for c in cts]),
+                           jnp.stack([c.c1 for c in cts]))
+
+    monkeypatch.setenv("FHE_HEAVY_CHUNK", "8")
+    whole_sq = ev.square_double_minus_one(bat)
+    whole_ms = ev.mul_double_sub(bat, bat, bat)
+    monkeypatch.setenv("FHE_HEAVY_CHUNK", "1")
+    chunk_sq = ev.square_double_minus_one(bat)
+    chunk_ms = ev.mul_double_sub(bat, bat, bat)
+    np.testing.assert_array_equal(np.asarray(whole_sq.c0),
+                                  np.asarray(chunk_sq.c0))
+    np.testing.assert_array_equal(np.asarray(whole_sq.c1),
+                                  np.asarray(chunk_sq.c1))
+    np.testing.assert_array_equal(np.asarray(whole_ms.c0),
+                                  np.asarray(chunk_ms.c0))
+    got = np.real(ev.decrypt(chunk_sq))
+    np.testing.assert_allclose(got, 2 * xs * xs - 1, atol=2e-3)

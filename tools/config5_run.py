@@ -55,9 +55,18 @@ def main(S=32):
     # shared chip (campaign_r4.json cfg5)
     reduced = tuple(sorted(pow2 - boot_rots))
     t0 = time.time()
+    # Derive the reduced-key level ceiling from THIS chain's boot output
+    # (advisor r4 finding: the hard-coded single-layer figures 25/22 are
+    # sized for num_scaling 58/44; the multi-layer preset is always 58,
+    # so a narrow boot outputs ~nl 33 and the first post-refresh rotation
+    # would trip the reduced-basis assert).  Measured boot consumption:
+    # wide ~36 limbs (ROADMAP r4: out_nl 23 at num_scaling 58), narrow
+    # ~25 (r2: out 19 at 44); +3 margin.
+    boot_consumed = 36 if wide else 25
+    reduced_nl = preset.ckks.num_scaling - boot_consumed + 3
     keys = generate_keys(ctx, rotations=tuple(sorted(boot_rots)), conj=True,
                          rotations_reduced=reduced,
-                         reduced_max_nl=25 if wide else 22)
+                         reduced_max_nl=reduced_nl)
     print(f"keys {time.time()-t0:.1f}s ({len(boot_rots)} full + "
           f"{len(reduced)} reduced rotations)", flush=True)
     ev = Evaluator(ctx, keys)
