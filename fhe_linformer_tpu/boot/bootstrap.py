@@ -63,6 +63,19 @@ class BootConfig:
     # mod-raise: at delta 2^26 / q0 2^30 that is |m| < 8/boost — use 2 for
     # circuit refresh sites (exp outputs reach ~4), 4 for |m| <= 2 probes.
     scale_boost: int = 1
+    # wide_early: enter the paired working scale at CtS group 0 instead
+    # of the last group.  SAME chain cost (raise(1) + double(2)*2 = 5
+    # limbs either way at budget 3) but the key-switch noise of the inner
+    # CtS groups lands relative to ~2^52 instead of 2^26 — chasing the
+    # input-correlated residual of ROADMAP round-5 queue #4.
+    wide_early: bool = False
+    # out_boost: land the StC output at out_boost*delta by folding
+    # out_boost into beta and reinterpreting the tracked scale (free).
+    # Noise injected in/after the LAST (narrow) StC group — the only
+    # narrow-scale stage left in the wide pipeline — shrinks by
+    # out_boost in message units.  Downstream ops track scale, so the
+    # circuit is unchanged; the next rescale eats the extra factor.
+    out_boost: int = 1
     # msg_bound: TWICE the |message| bound the mod-raise guard assumes
     # (advisor r4: the guard is boost * scale * msg_bound < q0 while
     # mod-raise safety needs |m| * s_in < q0/2, so msg_bound=M certifies
@@ -76,8 +89,17 @@ class BootConfig:
     @classmethod
     def wide_production(cls, scale_boost: int = 2) -> "BootConfig":
         """The round-4 production config: paired-scale internal pipeline +
-        input scale boost (pair with the 'linformer-boot-w' preset)."""
-        return cls(wide=True, scale_boost=scale_boost)
+        input scale boost (pair with the 'linformer-boot-w' preset).
+
+        Env knobs (round-5 precision campaign, VERDICT r4 #4) so TPU
+        steps can A/B without code edits: FHE_SCALE_BOOST, FHE_WIDE_EARLY,
+        FHE_OUT_BOOST, FHE_MSG_BOUND."""
+        return cls(
+            wide=True,
+            scale_boost=int(os.environ.get("FHE_SCALE_BOOST", scale_boost)),
+            wide_early=os.environ.get("FHE_WIDE_EARLY", "0") == "1",
+            out_boost=int(os.environ.get("FHE_OUT_BOOST", "1")),
+            msg_bound=float(os.environ.get("FHE_MSG_BOUND", "2.0")))
 
 
 class Bootstrapper:
@@ -203,12 +225,16 @@ class Bootstrapper:
     def coeffs_to_slots(self, ct: Ciphertext) -> Ciphertext:
         alpha = ct.scale / self.q0
         last = len(self.cts_diags) - 1
+        raise_at = 0 if (self.cfg.wide and self.cfg.wide_early) else last
         for gi in range(len(self.cts_diags)):
             dg = self._folded("cts", gi, alpha if gi == last else 1.0)
-            # wide mode: the last group RAISES the working scale by one
-            # prime (~2^26 -> ~2^52) so EvalMod's whole chain runs with
-            # crypto noise at 2^-43 relative
-            mode = "raise" if (self.cfg.wide and gi == last) else "double"
+            # wide mode: ONE group RAISES the working scale by one prime
+            # (~2^26 -> ~2^52) so EvalMod's whole chain runs with crypto
+            # noise at 2^-43 relative.  wide_early raises at group 0 —
+            # same limb cost, and the inner groups' key-switch noise then
+            # also sits relative to the paired scale.
+            mode = "raise" if (self.cfg.wide and gi == raise_at) \
+                else "double"
             ct = self.ops.bsgs_diag_transform(ct, dg, self.bs,
                                               rescale_mode=mode)
         return ct
@@ -368,7 +394,14 @@ class Bootstrapper:
         g = self.eval_mod_pair(pair)           # identical chains, batch 2
         yr = g.with_data(g.c0[0], g.c1[0])
         yi = g.with_data(g.c0[1], g.c1[1])
-        return self.slots_to_coeffs(yr, yi, s_in, out_div)
+        ob = float(self.cfg.out_boost)
+        out = self.slots_to_coeffs(yr, yi, s_in, out_div / ob)
+        if ob != 1.0:
+            # message carries the extra out_boost factor; reinterpret the
+            # tracked scale so the decoded value is unchanged while noise
+            # injected from the last (narrow) StC group on shrinks by ob
+            out.scale = out.scale * ob
+        return out
 
     def refresh(self, ct: Ciphertext) -> Ciphertext:
         """Layer-facing refresh.  Non-wide configs default to the

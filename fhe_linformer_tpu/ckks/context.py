@@ -183,7 +183,8 @@ class GaloisPerm:
 
 @functools.partial(
     jax.tree_util.register_dataclass, meta_fields=(),
-    data_fields=("qd", "half", "inv", "inv_s", "qrem", "t_last", "t_rem"))
+    data_fields=("qd", "half", "inv", "inv_s", "qrem", "t_last", "t_rem",
+                 "ones", "ones_s", "qdm"))
 @dataclass(frozen=True)
 class RescalePlan:
     qd: jnp.ndarray          # (1,1) u32 dropped prime
@@ -193,6 +194,13 @@ class RescalePlan:
     qrem: jnp.ndarray        # (nl-1,1) remaining primes
     t_last: LimbTables
     t_rem: LimbTables
+    # general centering (no qd < 2*q_i bound): v mod q_i via Shoup w=1,
+    # qd mod q_i for the negative branch — the mod_raise pattern.  Needed
+    # at ring 2^16, where only 39 scaling primes exist inside a ratio-2
+    # window around 2^26 but the preset chain needs 44 (r128c campaign).
+    ones: jnp.ndarray        # (nl-1,1) u32 literal 1
+    ones_s: jnp.ndarray      # shoup of 1 vs qrem
+    qdm: jnp.ndarray         # (nl-1,1) qd mod q_i
 
 
 def modulus_chain(cfg: CKKSConfig):
@@ -315,10 +323,10 @@ class Context:
         if nl not in self._rescale:
             qd = self.qs[nl - 1]
             rem = np.asarray(self.qs[: nl - 1], np.int64)
-            assert int(qd) < 2 * int(rem.min()), "rescale centering bound"
             inv = np.asarray([pow(qd, int(q) - 2, int(q)) for q in rem], np.int64)
             col = rem.reshape(-1, 1)
             one = lambda v: jnp.asarray(np.full((1, 1), v, np.uint32))
+            ones = np.ones_like(col)
             self._rescale[nl] = RescalePlan(
                 qd=one(qd), half=one(qd // 2),
                 inv=jnp.asarray(inv.reshape(-1, 1).astype(np.uint32)),
@@ -326,6 +334,9 @@ class Context:
                 qrem=jnp.asarray(col.astype(np.uint32)),
                 t_last=self.ntt.tables((nl - 1,)),
                 t_rem=self.ntt.tables(self.limb_idx(nl - 1)),
+                ones=jnp.asarray(ones.astype(np.uint32)),
+                ones_s=jnp.asarray(ma.shoup_precompute(ones, col)),
+                qdm=jnp.asarray((int(qd) % col).astype(np.uint32)),
             )
         return self._rescale[nl]
 

@@ -693,11 +693,19 @@ class Evaluator:
     def _batched_fused(self, core, nl, arrays):
         """Batch-chunked dispatch of a fused Chebyshev core: deep-chain
         token batches (config-5's 33 cts x 70+ limbs) OOM the shared chip
-        when squared in one graph — same _heavy_chunk discipline as mul()
-        (campaign_r4 cfg5 postmortem).  `arrays` lead with the chunked
-        ciphertext components; all must share the batch shape."""
+        when squared in one graph (campaign_r4 cfg5 postmortem).
+
+        Deliberately NOT the FHE_HEAVY_CHUNK key-switch perf cap: the
+        chunk-and-concat materializes an extra output copy, and applying
+        the cap=4 to S=700's batch-6 ffn squares RAISED the high-water at
+        the exact ladder peak round 4 survived unchunked (campaign_r5
+        s700 postmortem).  Chunks only on the byte-derived HBM guard
+        (override: FHE_FUSED_CHUNK)."""
+        import os
         bshape = arrays[0].shape[:-2]
-        chunk = self._heavy_chunk(nl)
+        per_ct = nl * self.ctx.cfg.n * 4 * 16
+        chunk = int(os.environ.get("FHE_FUSED_CHUNK", "0")) or \
+            max(1, (1 << 31) // per_ct)
         B = int(np.prod(bshape)) if bshape else 1
         if not bshape or (B <= chunk and len(bshape) <= 1):
             return core(*arrays)
@@ -1424,7 +1432,14 @@ def _rescale_body(c0, c1, plan):
         body = c[..., : nl - 1, :]
         last = c[..., nl - 1:, :]
         v = _ntt_inv(last, plan.t_last)             # coeffs of dropped limb
-        lift = jnp.where(v <= plan.half, v, plan.qrem - (plan.qd - v))
+        # general centering: (v centered at +/- qd/2) mod q_i, computed as
+        # v mod q_i (Shoup w=1) minus qd mod q_i on the negative branch —
+        # exact for ANY prime spread (the old `qrem - (qd - v)` shortcut
+        # needed qd < 2*q_i, which ring 2^16's 44-prime chain cannot
+        # satisfy; r128c campaign postmortem)
+        vm = ma.shoup_mulmod(v, plan.ones, plan.ones_s, plan.qrem)
+        lift = jnp.where(v <= plan.half, vm,
+                         ma.submod(vm, plan.qdm, plan.qrem))
         lift_e = _ntt_fwd(lift, plan.t_rem)
         diff = ma.submod(body, lift_e, plan.qrem)
         outs.append(ma.shoup_mulmod(diff, plan.inv, plan.inv_s, plan.qrem))

@@ -131,9 +131,12 @@ def _call(x, t: LimbTables, kernel, w_a, w_b, tw, tw_s, interpret):
     B = int(np.prod(lead, dtype=np.int64)) if lead else 1
     # batch tile scales inversely with ring size: at n=2^16 the NB=8
     # (nb,1,n1,n2) u32 blocks are 16 MB each and overflow the 16 MB
-    # scoped-vmem stack (measured r128c, round 4); halving nb per ring
-    # doubling keeps block bytes constant (~8 MB at 2^15)
-    nb = min(B, NB, max(1, (NB * (1 << 15)) // n))
+    # scoped-vmem stack (measured r128c, round 4).  Proportional halving
+    # (nb=4 at 2^16) still measured 16.19M — the double-buffered weight
+    # digit planes don't shrink with nb — so rings past 2^15 take an
+    # extra halving (nb=2 at 2^16; p216 campaign r5 postmortem).
+    nb = min(B, NB, max(1, (NB * (1 << 15)) // n
+                        // (1 if n <= (1 << 15) else 2)))
     pad = (-B) % nb
     # Mosaic requires the last two block dims (8,128)-aligned or full:
     # expose the four-step matrix view as explicit leading-(B,L) 4D arrays.

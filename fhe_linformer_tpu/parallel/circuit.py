@@ -46,7 +46,9 @@ def shard_ciphertext(ct, mesh: Mesh, axis: str = "dp"):
 
 
 def run_encoder_forward_dp(mesh: Mesh, S_total: int = 8, seed: int = 11,
-                           degree: int = 13, check: bool = True):
+                           degree: int = 13, check: bool = True,
+                           num_scaling: int = 44, input_nl: int | None = None,
+                           dnum: int = 8, atol: float = 0.05):
     """Full encrypted Linformer forward, token batch sharded over `dp`.
 
     Tiny ring (n=256) / d=8 model so the dry-run compiles in seconds per
@@ -58,7 +60,8 @@ def run_encoder_forward_dp(mesh: Mesh, S_total: int = 8, seed: int = 11,
     from ..models.circuit import CircuitParams, EncryptedLinformer
 
     D, KLIN, FFN, NCLS = 8, 4, 32, 5
-    cfg = CKKSConfig(n=256, scale_bits=26, num_scaling=44, dnum=8, seed=42)
+    cfg = CKKSConfig(n=256, scale_bits=26, num_scaling=num_scaling,
+                     dnum=dnum, seed=42)
     ctx = Context(cfg)
     pow2 = []
     s = 1
@@ -87,7 +90,7 @@ def run_encoder_forward_dp(mesh: Mesh, S_total: int = 8, seed: int = 11,
     )
     circ = EncryptedLinformer(ev, w, params)
 
-    x_cts, xe, xf, S = circ.encrypt_inputs(emb)
+    x_cts, xe, xf, S = circ.encrypt_inputs(emb, nl=input_nl)
     # the actual multichip step: token batches committed to the dp axis
     x_cts = shard_ciphertext(x_cts, mesh)
     xe = shard_ciphertext(xe, mesh)
@@ -96,10 +99,14 @@ def run_encoder_forward_dp(mesh: Mesh, S_total: int = 8, seed: int = 11,
     x = circ.encoder_layer(x_cts, xe, xf, S)
     cls_ct = x.with_data(x.c0[0], x.c1[0])
     out = circ.pooler_classifier(cls_ct)
+    import os as _os
+    if _os.environ.get("FHE_DRYRUN_DEPTH"):
+        print(f"[depth] full-circuit consumed {ctx.num_q - out.nl} "
+              f"levels (out nl={out.nl} of {ctx.num_q})", flush=True)
     logits = circ.decrypt_logits(out)
     want = inter["logits"]
     if check:
         assert np.all(np.isfinite(logits)), logits
-        np.testing.assert_allclose(logits, want, atol=0.05, rtol=0.05)
+        np.testing.assert_allclose(logits, want, atol=atol, rtol=atol)
         assert int(np.argmax(logits)) == int(np.argmax(want))
     return logits, want

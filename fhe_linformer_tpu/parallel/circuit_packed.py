@@ -29,7 +29,10 @@ from .circuit import shard_ciphertext
 
 def run_packed_forward_dp(mesh: Mesh, S_total: int = 32, seed: int = 11,
                           degree: int = 13, check: bool = True,
-                          chunk_tokens: int | None = None):
+                          chunk_tokens: int | None = None,
+                          num_scaling: int = 58,
+                          input_nl: int | None = None,
+                          dnum: int = 8, atol: float = 0.06):
     """Block-major packed Linformer forward with the chunk axis dp-sharded.
 
     Tiny ring (n=256, slots=128) / d=8 model -> nb=16 tokens per chunk,
@@ -47,7 +50,8 @@ def run_packed_forward_dp(mesh: Mesh, S_total: int = 32, seed: int = 11,
     from ..models.circuit_packed import PackedLinformer
 
     D, KLIN, FFN, NCLS, BS = 8, 4, 32, 5, 4
-    cfg = CKKSConfig(n=256, scale_bits=26, num_scaling=58, dnum=8, seed=99)
+    cfg = CKKSConfig(n=256, scale_bits=26, num_scaling=num_scaling,
+                     dnum=dnum, seed=99)
     ctx = Context(cfg)
     pow2 = []
     s = 1
@@ -76,7 +80,7 @@ def run_packed_forward_dp(mesh: Mesh, S_total: int = 32, seed: int = 11,
     circ = PackedLinformer(ev, w, params, bs=BS, batch_chunks=True,
                            chunk_tokens=chunk_tokens)
 
-    x_ct, xe, xf, S = circ.encrypt_inputs(emb)
+    x_ct, xe, xf, S = circ.encrypt_inputs(emb, nl=input_nl)
     assert x_ct.c0.shape[0] > 1, "need >1 chunk for a dp axis"
     # the actual multichip step: chunk axis committed to `dp`; XE/XF are
     # single replicated cts (the Linformer K/V compression broadcast)
@@ -84,10 +88,15 @@ def run_packed_forward_dp(mesh: Mesh, S_total: int = 32, seed: int = 11,
 
     x = circ.encoder_layer(x_ct, xe, xf, S)
     out = circ.pooler_classifier(x)
+    import os as _os
+    if _os.environ.get("FHE_DRYRUN_DEPTH"):
+        ctx = circ.ev.ctx
+        print(f"[depth] packed circuit consumed {ctx.num_q - out.nl} "
+              f"levels (out nl={out.nl} of {ctx.num_q})", flush=True)
     logits = circ.decrypt_logits(out)
     want = inter["logits"]
     if check:
         assert np.all(np.isfinite(logits)), logits
-        np.testing.assert_allclose(logits, want, atol=0.06, rtol=0.06)
+        np.testing.assert_allclose(logits, want, atol=atol, rtol=atol)
         assert int(np.argmax(logits)) == int(np.argmax(want))
     return logits, want

@@ -123,10 +123,10 @@ def test_fused_cheb_nodes_batch_chunked(monkeypatch):
     bat = cts[0].with_data(jnp.stack([c.c0 for c in cts]),
                            jnp.stack([c.c1 for c in cts]))
 
-    monkeypatch.setenv("FHE_HEAVY_CHUNK", "8")
+    monkeypatch.setenv("FHE_FUSED_CHUNK", "8")
     whole_sq = ev.square_double_minus_one(bat)
     whole_ms = ev.mul_double_sub(bat, bat, bat)
-    monkeypatch.setenv("FHE_HEAVY_CHUNK", "1")
+    monkeypatch.setenv("FHE_FUSED_CHUNK", "1")
     chunk_sq = ev.square_double_minus_one(bat)
     chunk_ms = ev.mul_double_sub(bat, bat, bat)
     np.testing.assert_array_equal(np.asarray(whole_sq.c0),

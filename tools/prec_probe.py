@@ -30,9 +30,15 @@ def main(nlog=12, ba=3, bb=3):
                      seed=11, secret_hw=32)
     ctx = Context(cfg)
     mb = float(os.environ.get("PROBE_MSG_BOUND", "2.0"))
+    # round-5 precision levers (VERDICT r4 #4): PROBE_WIDE_EARLY raises
+    # the working scale at CtS group 0; PROBE_OUT_BOOST lands StC at
+    # out_boost*delta (see BootConfig)
+    wearly = os.environ.get("PROBE_WIDE_EARLY") == "1"
+    oboost = int(os.environ.get("PROBE_OUT_BOOST", "1"))
     bcfg = BootConfig(level_budget=(ba, bb), wide=wide, scale_boost=boost,
-                      msg_bound=mb)
-    print(f"wide={wide} boost={boost} num_scaling={ns}", flush=True)
+                      msg_bound=mb, wide_early=wearly, out_boost=oboost)
+    print(f"wide={wide} boost={boost} num_scaling={ns} "
+          f"wide_early={wearly} out_boost={oboost}", flush=True)
     rots = Bootstrapper.rotations_for(cfg.n, bcfg)
     t0 = time.time()
     keys = generate_keys(ctx, rotations=rots, conj=True)

@@ -38,7 +38,15 @@ MANIFEST = os.path.join(REPO, "campaign_r5.json")
 PY = sys.executable
 
 S700_ENV = {
-    "FHE_BOOT2": "0", "FHE_BOOT_CHUNK": "2", "FHE_STAGE_REPS": "3",
+    # STAGE_REPS=0: one pass per stage, no warm rerun.  REPS=3 and even
+    # REPS=1 (which still runs first + one warm) OOM'd in ffn on a busy
+    # shared chip (campaign_r5 s700 rc=1 twice — partly self-inflicted:
+    # _batched_fused was honoring the HEAVY_CHUNK=4 cap and chunk-concat
+    # raised the ladder-peak high-water; fixed with FHE_FUSED_CHUNK).
+    # The decrypt artifact is the round-5 deliverable — dispatch
+    # counters carry the perf story; HEAVY_CHUNK=4 matches the r4-proven
+    # configuration.
+    "FHE_BOOT2": "0", "FHE_BOOT_CHUNK": "2", "FHE_STAGE_REPS": "0",
     "FHE_HEAVY_CHUNK": "4", "XLA_PYTHON_CLIENT_MEM_FRACTION": "0.8",
     "FHE_STAGE_DIR": "/tmp/fhe_stage",
 }
@@ -55,8 +63,13 @@ STEPS = {
     "s700c8d": ([PY, "-u", "tools/decrypt_check.py", "700",
                  "bench_layer_S700_packed_c8_boot.json", "--tag", "_c8"],
                 900, {"FHE_STAGE_DIR": "/tmp/fhe_stage"}),
-    "cfg5": ([PY, "-u", "tools/config5_run.py"], 9000,
+    # S=16: the S=32 run OOM'd mid-GELU twice (r4 compile-side, r5
+    # runtime) — 33 deep-chain token cts leave no ladder headroom on the
+    # busy shared chip; the capability under test (homomorphic ef_project
+    # + second layer + decrypt parity) is S-independent
+    "cfg5": ([PY, "-u", "tools/config5_run.py", "16"], 9000,
              {"FHE_BOOT2": "0", "FHE_HEAVY_CHUNK": "4",
+              "FHE_FUSED_CHUNK": "6",
               "XLA_PYTHON_CLIENT_MEM_FRACTION": "0.8",
               "FHE_STAGE_DIR": "/tmp/fhe_stage"}),
     "r128c": ([PY, "-u", "tools/ring128c_run.py"], 7200,
