@@ -45,9 +45,11 @@ GLOBAL_TIMERS = Timers()
 
 
 def approx_error_log2(expected: np.ndarray, actual: np.ndarray) -> float:
-    """|log2| of the infinity-norm error (Utils.h compute_approx_error
-    parity) — higher is better precision."""
+    """-log2 of the infinity-norm error (Utils.h compute_approx_error
+    parity) — higher is better precision.  NEGATIVE when the error
+    exceeds 1: the old abs() reported a divergent output (err ~ 2^63,
+    r128c at ring 2^16) as a spectacular '62.95 bits'."""
     err = np.max(np.abs(np.asarray(expected) - np.asarray(actual)))
     if err == 0:
         return float("inf")
-    return float(abs(np.log2(err)))
+    return float(-np.log2(err))

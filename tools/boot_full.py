@@ -46,7 +46,10 @@ def main(batch: int = 4):
     print(f"context {time.time()-t0:.1f}s  n={ctx.cfg.n} num_q={ctx.num_q} "
           f"k_sp={ctx.k_sp} wide={wide}", flush=True)
 
-    cfg = BootConfig(wide=True, scale_boost=4) if wide else BootConfig()
+    # wide_production reads the round-5 precision-lever env knobs
+    # (FHE_SCALE_BOOST / FHE_WIDE_EARLY / FHE_OUT_BOOST / FHE_MSG_BOUND)
+    cfg = BootConfig.wide_production(scale_boost=4) if wide \
+        else BootConfig()
     rots = Bootstrapper.rotations_for(ctx.cfg.n, cfg)
     print(f"boot rotations needed: {len(rots)}", flush=True)
     t0 = time.time()

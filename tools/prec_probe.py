@@ -26,8 +26,10 @@ def main(nlog=12, ba=3, bb=3):
     wide = os.environ.get("PROBE_WIDE") == "1"
     boost = int(os.environ.get("PROBE_BOOST", "1"))
     ns = int(os.environ.get("PROBE_NS", "44"))
+    hw = os.environ.get("PROBE_HW", "32")   # "none" -> uniform ternary
     cfg = CKKSConfig(n=1 << nlog, scale_bits=26, num_scaling=ns, dnum=3,
-                     seed=11, secret_hw=32)
+                     seed=11,
+                     secret_hw=None if hw.lower() == "none" else int(hw))
     ctx = Context(cfg)
     mb = float(os.environ.get("PROBE_MSG_BOUND", "2.0"))
     # round-5 precision levers (VERDICT r4 #4): PROBE_WIDE_EARLY raises
@@ -35,8 +37,14 @@ def main(nlog=12, ba=3, bb=3):
     # out_boost*delta (see BootConfig)
     wearly = os.environ.get("PROBE_WIDE_EARLY") == "1"
     oboost = int(os.environ.get("PROBE_OUT_BOOST", "1"))
+    # uniform-secret EvalMod domain (PROBE_K=512 etc.): the |I| bound of
+    # a uniform ternary secret scales with sqrt(n) — OpenFHE's K_UNIFORM
+    kk = int(os.environ.get("PROBE_K", "16"))
+    deg = int(os.environ.get("PROBE_DEG", "119"))
+    da = int(os.environ.get("PROBE_DA", "3"))
     bcfg = BootConfig(level_budget=(ba, bb), wide=wide, scale_boost=boost,
-                      msg_bound=mb, wide_early=wearly, out_boost=oboost)
+                      msg_bound=mb, wide_early=wearly, out_boost=oboost,
+                      K=kk, sin_degree=deg, double_angles=da)
     print(f"wide={wide} boost={boost} num_scaling={ns} "
           f"wide_early={wearly} out_boost={oboost}", flush=True)
     rots = Bootstrapper.rotations_for(cfg.n, bcfg)

@@ -47,12 +47,20 @@ def main(batch=2):
           f"num_q={ctx.num_q} k_sp={ctx.k_sp}", flush=True)
     persist()
 
-    # the round-4 production boot mechanics (wide + boost); the preset's
-    # chain stays at num_scaling=44 to hold the >=128-bit modulus budget,
-    # so the wide boot leaves ~10 usable limbs — enough for the security
-    # demonstration this run is (keygen + one precise bootstrap at 2^16)
+    # the round-4 production boot mechanics (wide + boost) at the
+    # UNIFORM-secret EvalMod domain: this preset's secret is uniform
+    # ternary (the HE-standard table's assumption), so the mod-raise
+    # overflow count|I| scales with sqrt(n) — K=512 (OpenFHE's
+    # K_UNIFORM), deg-201 Chebyshev + 6 double angles (fit+DA max err
+    # 2e-9, measured).  Round 5 postmortem: the first 2^16 run used the
+    # sparse-secret K=16 and the deg-119 Chebyshev DIVERGED outside its
+    # domain (output err ~2^63, masked by the old |log2| metric).
+    # The preset chain stays num_scaling=44 for the >=128-bit budget;
+    # this boot consumes ~40 limbs — the run is a security demonstrator.
     wide = os.environ.get("FHE_WIDE_BOOT", "1") == "1"
-    cfg = BootConfig(wide=True, scale_boost=4) if wide else BootConfig()
+    cfg = BootConfig(wide=True, scale_boost=4, K=512, sin_degree=201,
+                     double_angles=6) if wide else \
+        BootConfig(K=512, sin_degree=201, double_angles=6)
     results["wide"] = cfg.wide
     rots = Bootstrapper.rotations_for(ctx.cfg.n, cfg)
     results["boot_rotation_keys"] = len(rots)
