@@ -24,9 +24,14 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# pure-host tool: force CPU regardless of the ambient axon env (the
+# tunnel plugin needs PYTHONPATH=/root/.axon_site which subprocesses of
+# the campaign may not carry — and this check must not touch the device)
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "0")
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 
 import numpy as np  # noqa: E402
 
