@@ -286,6 +286,14 @@ def main():
         bl = json.load(open(blp))
         if "layer_total_warm_s" not in bl:
             continue
+        # first-pass-only artifacts (warm re-runs OOM at the S=700
+        # high-water) carry a prior warm record with MATCHING dispatch
+        # counters under warm_reference — the scaling model wants warm
+        if bl.get("timing_mode") == "first_pass_only" and \
+                "warm_reference" in bl:
+            bl = dict(bl, **{k: v for k, v in bl["warm_reference"].items()
+                             if isinstance(v, (int, float))})
+            bl["warm_source"] = "warm_reference"
         inv = coll.get("production_ring_2e15_sharded_keyswitch_limb4", {})
         psum_b = sum(v["bytes"] for v in inv.values())
         nks = bl.get("layer_keyswitches", 0) + \
@@ -336,9 +344,59 @@ def main():
                     f"C={C_re} (chunk_tokens={-(-S_tok // C_re)})"
             sc[f"chips_{N}_efficiency"] = round(meas / (N * layer_n), 3)
         report[f"packed_boot_layer_S{S}"] = sc
+    # --- measured dp re-chunk record (S=700, chunk_tokens=96 -> C=8:
+    # divides 8/16-chip dp meshes at 25% slot waste; VERDICT r4 #3).
+    # The c8 run is first-pass-only timing, so the dp prediction is
+    # COUNTER-based: warm_c8 ~ warm_c6 * keyswitch-volume inflation
+    # (dispatch counters are the deterministic metric on the tunnel).
+    c8p = os.path.join(REPO, "bench_layer_S700_packed_c8_boot.json")
+    basep = os.path.join(REPO, "bench_layer_S700_packed_boot.json")
+    if os.path.exists(c8p) and os.path.exists(basep):
+        c8 = json.load(open(c8p))
+        base = json.load(open(basep))
+        wr = base.get("warm_reference", {})
+        warm6 = wr.get("layer_total_warm_s",
+                       base.get("layer_total_warm_s"))
+        if "layer_keyswitches" in c8 and "layer_keyswitches" in base:
+            vol = lambda d: (d["layer_keyswitches"]
+                             + 0.6 * d["layer_combo_rots"])
+            infl = vol(c8) / vol(base)
+            warm8_1chip = warm6 * infl
+            inv = coll.get("production_ring_2e15_sharded_keyswitch_limb4",
+                           {})
+            psum_b = sum(v["bytes"] for v in inv.values())
+            rec = {"chunks": c8.get("chunks"),
+                   "chunk_tokens": c8.get("chunk_tokens"),
+                   "keyswitches": c8.get("layer_keyswitches"),
+                   "combo_rots": c8.get("layer_combo_rots"),
+                   "bootstraps": c8.get("layer_bootstraps"),
+                   "ks_volume_inflation_vs_c6": round(infl, 4),
+                   "warm_1chip_counter_model_s": round(warm8_1chip, 3),
+                   "first_pass_measured_s":
+                       c8.get("layer_total_warm_s"),
+                   "argmax_matches_golden":
+                       c8.get("argmax_matches_golden"),
+                   }
+            F_PAR = 0.85
+            for N in (8, 16):
+                dp = 8
+                limb = max(1, N // dp)
+                limb_speed = 1.0 / ((1 - F_PAR) + F_PAR / limb)
+                comm = (vol(c8) / dp) * psum_b / ICI_GBPS \
+                    + 32 * CT_BYTES / ICI_GBPS
+                layer_n = (warm8_1chip / 8) / limb_speed + comm
+                rec[f"chips_{N}_layer_s_pred"] = round(layer_n, 3)
+                rec[f"chips_{N}_mesh"] = f"dp{dp}xlimb{limb}"
+                rec[f"chips_{N}_efficiency"] = round(
+                    warm8_1chip / (N * layer_n), 3)
+            report["packed_boot_layer_S700_c8_measured"] = rec
     if "packed_boot_layer_S128" in report:
         report["v5e16_packed_layer_pred_s"] = \
             report["packed_boot_layer_S128"]["chips_16_layer_s_pred"]
+    if "packed_boot_layer_S700_c8_measured" in report:
+        report["v5e16_packed_S700_dp_pred_s"] = \
+            report["packed_boot_layer_S700_c8_measured"][
+                "chips_16_layer_s_pred"]
 
     with open(os.path.join(REPO, "bench_scaling.json"), "w") as f:
         json.dump(report, f, indent=1)
