@@ -57,10 +57,15 @@ def main(batch=2):
     # domain (output err ~2^63, masked by the old |log2| metric).
     # The preset chain stays num_scaling=44 for the >=128-bit budget;
     # this boot consumes ~40 limbs — the run is a security demonstrator.
+    # level_budget (2,2): the (3,3) wide chain needs ~46 limbs with the
+    # uniform-secret domain (ran out in the last StC group at 44); two
+    # groups per transform save 4 limbs (each wide group costs 2) at
+    # larger BSGS diagonal groups — acceptable for this demonstrator.
     wide = os.environ.get("FHE_WIDE_BOOT", "1") == "1"
-    cfg = BootConfig(wide=True, scale_boost=4, K=512, sin_degree=201,
-                     double_angles=6) if wide else \
-        BootConfig(K=512, sin_degree=201, double_angles=6)
+    cfg = BootConfig(level_budget=(2, 2), wide=True, scale_boost=4, K=512,
+                     sin_degree=201, double_angles=6) if wide else \
+        BootConfig(level_budget=(2, 2), K=512, sin_degree=201,
+                   double_angles=6)
     results["wide"] = cfg.wide
     rots = Bootstrapper.rotations_for(ctx.cfg.n, cfg)
     results["boot_rotation_keys"] = len(rots)
