@@ -57,14 +57,16 @@ def main(batch=2):
     # domain (output err ~2^63, masked by the old |log2| metric).
     # The preset chain stays num_scaling=44 for the >=128-bit budget;
     # this boot consumes ~40 limbs — the run is a security demonstrator.
-    # level_budget (2,2): the (3,3) wide chain needs ~46 limbs with the
-    # uniform-secret domain (ran out in the last StC group at 44); two
-    # groups per transform save 4 limbs (each wide group costs 2) at
-    # larger BSGS diagonal groups — acceptable for this demonstrator.
+    # level_budget (3,2): the (3,3) wide chain needs ~46 limbs with the
+    # uniform-secret domain (ran out in the last StC group at 44) — a
+    # 2-group StC saves 2 limbs; but a 2-group CtS TOO ((2,2), attempt 3)
+    # nearly tripled the full-basis rotation keys (38 -> 98) and blew the
+    # 2^16 HBM budget.  (3,2) keeps CtS keys small and saves the StC
+    # limbs: 5+2+16+12+4 = 39 of 44.
     wide = os.environ.get("FHE_WIDE_BOOT", "1") == "1"
-    cfg = BootConfig(level_budget=(2, 2), wide=True, scale_boost=4, K=512,
+    cfg = BootConfig(level_budget=(3, 2), wide=True, scale_boost=4, K=512,
                      sin_degree=201, double_angles=6) if wide else \
-        BootConfig(level_budget=(2, 2), K=512, sin_degree=201,
+        BootConfig(level_budget=(3, 2), K=512, sin_degree=201,
                    double_angles=6)
     results["wide"] = cfg.wide
     rots = Bootstrapper.rotations_for(ctx.cfg.n, cfg)

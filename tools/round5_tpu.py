@@ -72,7 +72,9 @@ STEPS = {
               "FHE_FUSED_CHUNK": "6",
               "XLA_PYTHON_CLIENT_MEM_FRACTION": "0.8",
               "FHE_STAGE_DIR": "/tmp/fhe_stage"}),
-    "r128c": ([PY, "-u", "tools/ring128c_run.py"], 7200,
+    # batch=1: the 2^16 ring doubles every buffer; batch-2 boots OOM'd
+    # under round-5 co-tenant pressure
+    "r128c": ([PY, "-u", "tools/ring128c_run.py", "1"], 7200,
               {"FHE_BOOT2": "0", "FHE_NTT_PALLAS": "0",
                "FHE_HEAVY_CHUNK": "4",
                "XLA_PYTHON_CLIENT_MEM_FRACTION": "0.8"}),
