@@ -117,7 +117,12 @@ _reg(Preset(
 _reg(Preset(
     name="linformer-128c",
     desc="full bootstrapped Linformer at >=128-bit classical security",
-    ckks=CKKSConfig(n=1 << 16, scale_bits=26, num_scaling=44, dnum=3),
+    # num_scaling=46: the uniform-secret wide bootstrap (K=512, deg-201
+    # Chebyshev, 6 double angles — see tools/ring128c_run.py) consumes
+    # ~45 limbs at budget (3,3); the 2^16 modulus budget has ~138 bits
+    # of headroom above the 128-bit bound, so +2 limbs (52 bits) keeps
+    # classical security >= 128 (security.assess recomputes per config).
+    ckks=CKKSConfig(n=1 << 16, scale_bits=26, num_scaling=46, dnum=3),
     bootstrap=True,
 ))
 

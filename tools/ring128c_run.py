@@ -57,17 +57,16 @@ def main(batch=2):
     # domain (output err ~2^63, masked by the old |log2| metric).
     # The preset chain stays num_scaling=44 for the >=128-bit budget;
     # this boot consumes ~40 limbs — the run is a security demonstrator.
-    # level_budget (3,2): the (3,3) wide chain needs ~46 limbs with the
-    # uniform-secret domain (ran out in the last StC group at 44) — a
-    # 2-group StC saves 2 limbs; but a 2-group CtS TOO ((2,2), attempt 3)
-    # nearly tripled the full-basis rotation keys (38 -> 98) and blew the
-    # 2^16 HBM budget.  (3,2) keeps CtS keys small and saves the StC
-    # limbs: 5+2+16+12+4 = 39 of 44.
+    # level_budget stays (3,3): smaller budgets SHRANK limb use but
+    # EXPLODED the full-basis rotation-key count ((2,2) -> 98, (3,2) ->
+    # 122 keys vs 38) and OOM'd the 2^16 HBM under round-5 co-tenant
+    # pressure.  The ~45-limb consumption of the uniform-secret wide
+    # chain is paid with chain length instead: the preset grew to
+    # num_scaling=46 inside its 138-bit security headroom (config.py).
     wide = os.environ.get("FHE_WIDE_BOOT", "1") == "1"
-    cfg = BootConfig(level_budget=(3, 2), wide=True, scale_boost=4, K=512,
+    cfg = BootConfig(wide=True, scale_boost=4, K=512,
                      sin_degree=201, double_angles=6) if wide else \
-        BootConfig(level_budget=(3, 2), K=512, sin_degree=201,
-                   double_angles=6)
+        BootConfig(K=512, sin_degree=201, double_angles=6)
     results["wide"] = cfg.wide
     rots = Bootstrapper.rotations_for(ctx.cfg.n, cfg)
     results["boot_rotation_keys"] = len(rots)
