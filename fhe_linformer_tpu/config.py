@@ -117,16 +117,16 @@ _reg(Preset(
 _reg(Preset(
     name="linformer-128c",
     desc="full bootstrapped Linformer at >=128-bit classical security",
-    # num_scaling=48: the uniform-secret wide bootstrap (K=512, deg-201
+    # num_scaling=46: the uniform-secret wide bootstrap (K=512, deg-201
     # Chebyshev, 6 double angles — see tools/ring128c_run.py) consumes
-    # ~42 limbs at dense-prime rings PLUS a ring-2^16 drift tax — the
-    # sparse 2^17-friendly prime pool spreads 2.36x in magnitude, so the
-    # FLEXIBLEAUTO drift corrections (adjust nodes) burn extra levels.
-    # The 2^16 modulus budget had ~138 bits of headroom above the
-    # classical-128 bound at 44 limbs; 48 leaves ~5 bits (still >= 128
-    # classical — security.assess recomputes per config; the QUANTUM
-    # table bound is exceeded past 44 limbs, recorded in the artifact).
-    ckks=CKKSConfig(n=1 << 16, scale_bits=26, num_scaling=48, dnum=3),
+    # ~42 limbs at dense-prime rings plus a ring-2^16 drift tax (the
+    # sparse 2^17-friendly prime pool spreads 2.36x; the magnitude-
+    # matched pair interleave in primes.scaling_primes bounds the
+    # wide-section drift).  48 limbs would breach the classical-128
+    # modulus budget (headroom -25 bits); 46 leaves +57.  The QUANTUM
+    # table bound is exceeded past 44 limbs — recorded in the artifact;
+    # the preset's claim is classical, per its name.
+    ckks=CKKSConfig(n=1 << 16, scale_bits=26, num_scaling=46, dnum=3),
     bootstrap=True,
 ))
 

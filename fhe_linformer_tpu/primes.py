@@ -127,4 +127,25 @@ def scaling_primes(two_n: int, count: int, scale_bits: int) -> tuple[int, ...]:
     for i in range(count):
         src = above if (i % 2 == 0 and above) or not below else below
         out.append(src.pop(0))
+    if max(out) / min(out) > 1.5:
+        # Wide-spread pools (ring 2^16: only ~39 primes ≡1 mod 2^17 fit a
+        # ratio-2 window, so the chain spans 2.36x): rank-interleaving
+        # mismatches magnitudes — the i-th above/below neighbors drift
+        # apart as the sparser side reaches further.  Pair by MATCHED
+        # log-deviation instead (most-positive with most-negative), so
+        # any two adjacent primes multiply to ~target^2 and the
+        # FLEXIBLEAUTO drift stays bounded instead of compounding into
+        # extra adjust levels (the ring-2^16 bootstrap's limb tax).
+        import math
+        devs = sorted(out, key=lambda q: math.log(q) - math.log(target))
+        lo, hi = 0, len(devs) - 1
+        seq = []
+        while lo < hi:
+            seq += [devs[hi], devs[lo]]
+            hi -= 1
+            lo += 1
+        if lo == hi:
+            seq.append(devs[lo])
+        # leftover (odd count) sits at the chain BOTTOM (dropped last)
+        out = seq[::-1]
     return tuple(out)
